@@ -1,0 +1,128 @@
+"""Gaussian covariance math: quaternion -> rotation, 3D covariance, EWA 2D projection.
+
+Semantics match the reference kernels (forward.cu:73-152) and the python twin
+(utils/general.py:83-116).  Everything is autodiff-friendly; the production
+renderer obtains the preprocess backward (the hand-written calculus in
+backward.cu:144-396) by differentiating these functions.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# Small per-Gaussian matrix products are bandwidth-bound; force full f32 so
+# TPU does not silently drop them to bf16 (parity with the fp32 reference).
+_HI = jax.lax.Precision.HIGHEST
+
+
+def quat_to_rotmat(q: jnp.ndarray) -> jnp.ndarray:
+    """Quaternion (w, x, y, z) -> 3x3 rotation. Matches utils/general.py:83-104
+    (which normalizes) — pass an already-normalized quaternion for rasterizer
+    parity (the model's rotation activation normalizes, gaussian_model.py:43).
+
+    q: (..., 4) -> (..., 3, 3)
+    """
+    r, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    R = jnp.stack(
+        [
+            1.0 - 2.0 * (y * y + z * z), 2.0 * (x * y - r * z), 2.0 * (x * z + r * y),
+            2.0 * (x * y + r * z), 1.0 - 2.0 * (x * x + z * z), 2.0 * (y * z - r * x),
+            2.0 * (x * z - r * y), 2.0 * (y * z + r * x), 1.0 - 2.0 * (x * x + y * y),
+        ],
+        axis=-1,
+    )
+    return R.reshape(q.shape[:-1] + (3, 3))
+
+
+def build_cov3d(scale: jnp.ndarray, quat: jnp.ndarray, scale_modifier: float = 1.0) -> jnp.ndarray:
+    """World-space covariance Sigma = R S^2 R^T, packed symmetric.
+
+    scale: (..., 3) activated (positive) scales; quat: (..., 4) normalized.
+    Returns (..., 6): (xx, xy, xz, yy, yz, zz) — the packing of forward.cu:146-151.
+    """
+    R = quat_to_rotmat(quat)                      # (..., 3, 3)
+    S = scale * scale_modifier                    # (..., 3)
+    M = R * S[..., None, :]                       # columns scaled: M = R @ diag(S)
+    sigma = jnp.matmul(M, jnp.swapaxes(M, -1, -2), precision=_HI)  # R S^2 R^T
+    return jnp.stack(
+        [
+            sigma[..., 0, 0], sigma[..., 0, 1], sigma[..., 0, 2],
+            sigma[..., 1, 1], sigma[..., 1, 2], sigma[..., 2, 2],
+        ],
+        axis=-1,
+    )
+
+
+def project_cov3d_to_2d(
+    mean: jnp.ndarray,
+    cov3d: jnp.ndarray,
+    viewmatrix: jnp.ndarray,
+    focal_x,
+    focal_y,
+    tanfovx,
+    tanfovy,
+):
+    """EWA projection of the 3D covariance to screen space (forward.cu:73-113).
+
+    mean: (..., 3) world means; cov3d: (..., 6) packed; viewmatrix: (4,4) w2c.
+    Returns (..., 3): (cov_xx, cov_xy, cov_yy) with the +0.3 low-pass applied.
+
+    Steps: t = view-space mean with x/y clamped at 1.3*tanfov (forward.cu:82-87);
+    J = perspective Jacobian; cov2d = J W Sigma W^T J^T + 0.3*I.
+    """
+    W = viewmatrix[:3, :3]
+    t = jnp.matmul(mean, W.T, precision=_HI) + viewmatrix[:3, 3]
+    tz = t[..., 2]
+    limx = 1.3 * tanfovx
+    limy = 1.3 * tanfovy
+    tx = jnp.clip(t[..., 0] / tz, -limx, limx) * tz
+    ty = jnp.clip(t[..., 1] / tz, -limy, limy) * tz
+
+    # Unpack symmetric cov3d.
+    s = cov3d
+    Sigma = jnp.stack(
+        [
+            s[..., 0], s[..., 1], s[..., 2],
+            s[..., 1], s[..., 3], s[..., 4],
+            s[..., 2], s[..., 4], s[..., 5],
+        ],
+        axis=-1,
+    ).reshape(s.shape[:-1] + (3, 3))
+
+    # M = W Sigma W^T (world -> view rotation of the covariance)
+    V = jnp.einsum("ij,...jk,lk->...il", W, Sigma, W, precision=_HI)
+
+    inv_z = 1.0 / tz
+    inv_z2 = inv_z * inv_z
+    j00 = focal_x * inv_z
+    j11 = focal_y * inv_z
+    j02 = -focal_x * tx * inv_z2
+    j12 = -focal_y * ty * inv_z2
+
+    # cov2d = J V J^T with J = [[j00, 0, j02], [0, j11, j12]]
+    v00, v01, v02 = V[..., 0, 0], V[..., 0, 1], V[..., 0, 2]
+    v11, v12, v22 = V[..., 1, 1], V[..., 1, 2], V[..., 2, 2]
+    c_xx = j00 * j00 * v00 + 2.0 * j00 * j02 * v02 + j02 * j02 * v22 + 0.3
+    c_xy = j00 * j11 * v01 + j00 * j12 * v02 + j02 * j11 * v12 + j02 * j12 * v22
+    c_yy = j11 * j11 * v11 + 2.0 * j11 * j12 * v12 + j12 * j12 * v22 + 0.3
+    return jnp.stack([c_xx, c_xy, c_yy], axis=-1)
+
+
+def invert_cov2d(cov2d: jnp.ndarray):
+    """(cov_xx, cov_xy, cov_yy) -> conic (a, b, c) and determinant
+    (forward.cu:219-223)."""
+    cxx, cxy, cyy = cov2d[..., 0], cov2d[..., 1], cov2d[..., 2]
+    det = cxx * cyy - cxy * cxy
+    det_safe = jnp.where(det == 0.0, 1.0, det)
+    inv = 1.0 / det_safe
+    conic = jnp.stack([cyy * inv, -cxy * inv, cxx * inv], axis=-1)
+    return conic, det
+
+
+def cov2d_extent_radius(cov2d: jnp.ndarray, det: jnp.ndarray):
+    """Screen-space radius = ceil(3 * sqrt(max eigenvalue)) (forward.cu:229-232)."""
+    cxx, cyy = cov2d[..., 0], cov2d[..., 2]
+    mid = 0.5 * (cxx + cyy)
+    disc = jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
+    lambda_max = mid + disc
+    return jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lambda_max, 0.0)))

@@ -1,0 +1,99 @@
+"""Per-Gaussian preprocessing: cull, project, conic, SH->RGB, tile rect.
+
+A pure-jnp, batched (no per-Gaussian threads) equivalent of the reference
+preprocess kernel (forward.cu:156-256).  Fully differentiable: the production
+renderer gets the reference's hand-derived preprocess backward
+(backward.cu:144-396) by autodiff of this function.
+
+Differences from the reference, by design:
+- quaternion-normalization gradient is included (the reference normalizes in
+  torch, so the overall gradient is identical; backward.cu:281 only skips a
+  redundant in-kernel renormalization).
+- culled Gaussians are masked, not early-returned (static shapes).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from luciddreamer_tpu.core import covariance, sh as shlib
+from luciddreamer_tpu.core.types import Camera, GaussianParams, ProcessedGaussians
+from luciddreamer_tpu.core.transforms import ndc2pix
+
+
+def preprocess_gaussians(
+    params: GaussianParams,
+    camera: Camera,
+    active_sh_degree: int,
+    tile_size: int = 16,
+    scale_modifier: float = 1.0,
+    near_plane: float = 0.2,
+) -> ProcessedGaussians:
+    """Compute screen-space quantities for every Gaussian (masked, static shape)."""
+    means = params.xyz                              # (P, 3)
+    opacity = params.get_opacity()[..., 0]          # (P,)
+    scales = params.get_scaling()
+    quats = params.get_rotation()
+
+    _hi = jax.lax.Precision.HIGHEST
+
+    # --- frustum cull: view-space z > 0.2 (auxiliary.h:139-164) ---
+    vm = camera.viewmatrix
+    p_view_z = jnp.matmul(means, vm[2, :3], precision=_hi) + vm[2, 3]
+    in_front = p_view_z > near_plane
+
+    # --- projection (forward.cu:197-200) ---
+    pm = camera.projmatrix
+    p_hom = jnp.matmul(means, pm[:3, :3].T, precision=_hi) + pm[:3, 3]  # xyz rows
+    p_w = jnp.matmul(means, pm[3, :3], precision=_hi) + pm[3, 3]
+    inv_w = 1.0 / (p_w + 1e-7)
+    ndc_x = p_hom[..., 0] * inv_w
+    ndc_y = p_hom[..., 1] * inv_w
+    mean2d = jnp.stack(
+        [ndc2pix(ndc_x, camera.width), ndc2pix(ndc_y, camera.height)], axis=-1
+    )
+
+    # --- covariance -> conic (forward.cu:202-232) ---
+    cov3d = covariance.build_cov3d(scales, quats, scale_modifier)
+    cov2d = covariance.project_cov3d_to_2d(
+        means, cov3d, vm, camera.focal_x, camera.focal_y,
+        camera.tanfovx, camera.tanfovy,
+    )
+    conic, det = covariance.invert_cov2d(cov2d)
+    det_ok = det != 0.0
+    radius_f = covariance.cov2d_extent_radius(cov2d, det)
+
+    # --- tile rect (auxiliary.h:46-56) ---
+    grid_x = (camera.width + tile_size - 1) // tile_size
+    grid_y = (camera.height + tile_size - 1) // tile_size
+    px, py = mean2d[..., 0], mean2d[..., 1]
+    rect_min_x = jnp.clip(((px - radius_f) / tile_size).astype(jnp.int32), 0, grid_x)
+    rect_min_y = jnp.clip(((py - radius_f) / tile_size).astype(jnp.int32), 0, grid_y)
+    rect_max_x = jnp.clip(
+        ((px + radius_f + tile_size - 1) / tile_size).astype(jnp.int32), 0, grid_x
+    )
+    rect_max_y = jnp.clip(
+        ((py + radius_f + tile_size - 1) / tile_size).astype(jnp.int32), 0, grid_y
+    )
+    tiles = (rect_max_x - rect_min_x) * (rect_max_y - rect_min_y)
+
+    visible = in_front & det_ok & (tiles > 0) & params.alive
+    tiles = jnp.where(visible, tiles, 0)
+    radius = jnp.where(visible, radius_f, 0.0).astype(jnp.int32)
+
+    # --- SH -> RGB (forward.cu:20-71) ---
+    shs = params.get_features()                     # (P, K, 3)
+    rgb = shlib.sh_to_rgb_clamped(active_sh_degree, shs, means, camera.campos)
+
+    return ProcessedGaussians(
+        mean2d=mean2d,
+        depth=p_view_z,
+        conic=conic,
+        opacity=opacity,
+        rgb=rgb,
+        radius=radius,
+        rect_min=jnp.stack([rect_min_x, rect_min_y], axis=-1),
+        rect_max=jnp.stack([rect_max_x, rect_max_y], axis=-1),
+        tiles_touched=tiles,
+        visible=visible,
+    )
