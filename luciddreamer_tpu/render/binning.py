@@ -103,7 +103,10 @@ def build_tile_bins(
         jnp.zeros((num_tiles + 1,), jnp.int32).at[tile].add(1, mode="drop")
     )[:num_tiles]
     tile_start = jnp.cumsum(tile_counts) - tile_counts
-    padded_counts = ((tile_counts + chunk - 1) // chunk) * chunk
+    # Every tile gets >= 1 chunk (even empty tiles) so the Pallas grid walk
+    # initializes and emits every tile's state; padded_cap's num_tiles*chunk
+    # headroom covers this worst case.
+    padded_counts = jnp.maximum(((tile_counts + chunk - 1) // chunk) * chunk, chunk)
     padded_cumsum = jnp.cumsum(padded_counts)
     padded_start = padded_cumsum - padded_counts
     total_padded = padded_cumsum[-1]

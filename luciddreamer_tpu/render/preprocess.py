@@ -28,6 +28,7 @@ def preprocess_gaussians(
     tile_size: int = 16,
     scale_modifier: float = 1.0,
     near_plane: float = 0.2,
+    mean2d_offset: jax.Array | None = None,
 ) -> ProcessedGaussians:
     """Compute screen-space quantities for every Gaussian (masked, static shape)."""
     means = params.xyz                              # (P, 3)
@@ -52,6 +53,11 @@ def preprocess_gaussians(
     mean2d = jnp.stack(
         [ndc2pix(ndc_x, camera.width), ndc2pix(ndc_y, camera.height)], axis=-1
     )
+    if mean2d_offset is not None:
+        # zeros passed by the train step; its gradient is the screen-space
+        # densification signal (the reference's retain_grad screenspace_points,
+        # gaussian_renderer/__init__.py:26-30)
+        mean2d = mean2d + mean2d_offset
 
     # --- covariance -> conic (forward.cu:202-232) ---
     cov3d = covariance.build_cov3d(scales, quats, scale_modifier)

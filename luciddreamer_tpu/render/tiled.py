@@ -43,6 +43,7 @@ def render_tiled(
     chunk: int = 128,
     pair_cap: int | None = None,
     backend: str = "xla",
+    mean2d_offset: jax.Array | None = None,
 ):
     """Render RGB + depth through the tiled path.
 
@@ -58,14 +59,19 @@ def render_tiled(
     pair_cap = ((pair_cap + chunk - 1) // chunk) * chunk
 
     proc = preprocess_gaussians(
-        params, camera, active_sh_degree, tile_size, scale_modifier
+        params, camera, active_sh_degree, tile_size, scale_modifier,
+        mean2d_offset=mean2d_offset,
     )
     bins = build_tile_bins(proc, H, W, tile_size, pair_cap, chunk)
 
     if backend == "pallas":
         from luciddreamer_tpu.render.pallas_blend import blend_tiles_pallas
 
-        carry = blend_tiles_pallas(bins, grid_x, grid_y, tile_size, chunk)
+        # interpret mode lets the same kernel run on CPU (tests / mesh sims)
+        interpret = jax.default_backend() != "tpu"
+        carry = blend_tiles_pallas(
+            bins, grid_x, grid_y, tile_size, chunk, interpret=interpret
+        )
     else:
         carry = blend_tiles_xla(bins, grid_x, grid_y, tile_size, chunk)
 
