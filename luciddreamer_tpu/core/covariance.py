@@ -72,7 +72,11 @@ def project_cov3d_to_2d(
     """
     W = viewmatrix[:3, :3]
     t = jnp.matmul(mean, W.T, precision=_HI) + viewmatrix[:3, 3]
-    tz = t[..., 2]
+    # Rows with tz <= 0.2 are frustum-culled (masked downstream), but their
+    # values still flow through autodiff: clamp tz so 1/tz stays finite and
+    # no 0*inf=NaN leaks into masked gradients.  Visible rows (tz > 0.2)
+    # are unchanged -> exact forward/backward parity.
+    tz = jnp.maximum(t[..., 2], 0.01)
     limx = 1.3 * tanfovx
     limy = 1.3 * tanfovy
     tx = jnp.clip(t[..., 0] / tz, -limx, limx) * tz

@@ -97,7 +97,9 @@ def sh_to_rgb_clamped(deg: int, sh: jnp.ndarray, means: jnp.ndarray, campos: jnp
     """SH -> RGB as the rasterizer preprocess does (forward.cu:20-71):
     direction from camera to mean, +0.5 offset, clamp at 0."""
     dirs = means - campos
-    dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-12)
+    # sqrt(sum + eps): norm() has a NaN gradient at 0, which dead capacity
+    # rows sitting exactly at the camera position would hit
+    dirs = dirs / jnp.sqrt(jnp.sum(dirs**2, axis=-1, keepdims=True) + 1e-20)
     return jnp.maximum(eval_sh(deg, sh, dirs) + 0.5, 0.0)
 
 

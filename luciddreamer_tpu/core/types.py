@@ -61,8 +61,10 @@ class GaussianParams:
         return jnp.exp(self.scaling)
 
     def get_rotation(self) -> jax.Array:
-        n = jnp.linalg.norm(self.rotation, axis=-1, keepdims=True)
-        return self.rotation / jnp.maximum(n, 1e-12)
+        # sqrt(sum + eps) keeps the gradient finite at q = 0 (dead capacity
+        # rows); norm() would produce NaN there and poison the Adam moments.
+        n = jnp.sqrt(jnp.sum(self.rotation**2, axis=-1, keepdims=True) + 1e-24)
+        return self.rotation / n
 
     def get_opacity(self) -> jax.Array:
         return jax.nn.sigmoid(self.opacity)

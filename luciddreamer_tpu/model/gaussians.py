@@ -46,13 +46,13 @@ def create_from_pcd(
             constant_values=fill,
         )
 
-    rot = jnp.zeros((P, 4), jnp.float32).at[:, 0].set(1.0)
+    rot = jnp.zeros((capacity, 4), jnp.float32).at[:, 0].set(1.0)
     return GaussianParams(
         xyz=pad(points.astype(jnp.float32)),
         features_dc=pad(shlib.rgb2sh(colors.astype(jnp.float32))[:, None, :]),
         features_rest=pad(jnp.zeros((P, n_rest, 3), jnp.float32)),
         scaling=pad(log_scale),
-        rotation=pad(rot, fill=0.0),
+        rotation=rot,  # identity quats everywhere, incl. padding rows
         opacity=pad(jnp.full((P, 1), inverse_sigmoid(0.1), jnp.float32)),
         alive=pad(jnp.ones((P,), bool), fill=False),
     )

@@ -47,7 +47,9 @@ def preprocess_gaussians(
     pm = camera.projmatrix
     p_hom = jnp.matmul(means, pm[:3, :3].T, precision=_hi) + pm[:3, 3]  # xyz rows
     p_w = jnp.matmul(means, pm[3, :3], precision=_hi) + pm[3, 3]
-    inv_w = 1.0 / (p_w + 1e-7)
+    # clamp like tz in project_cov3d_to_2d: culled rows (w ~ tz <= 0.2) must
+    # not produce inf that NaNs masked gradients; visible rows unchanged
+    inv_w = 1.0 / (jnp.maximum(p_w, 1e-3) + 1e-7)
     ndc_x = p_hom[..., 0] * inv_w
     ndc_y = p_hom[..., 1] * inv_w
     mean2d = jnp.stack(

@@ -57,9 +57,12 @@ def test_tiled_respects_dead_capacity_rows(rng):
 
 
 def test_tiled_overflow_reported(rng):
-    params = make_random_gaussians(100, rng, scale_range=(-2.0, -0.5))
+    # the counting binning rounds pair_cap up to its 4096 segment size, so
+    # the scene must exceed that physical capacity to overflow
+    params = make_random_gaussians(500, rng, scale_range=(-1.5, -0.5))
     cam = make_test_camera(64, 64)
     out = render_tiled(params, cam, jnp.zeros(3), pair_cap=32, chunk=16)
+    assert int(out["num_pairs"]) > 4096
     assert bool(out["overflow"])
 
 
