@@ -1,0 +1,139 @@
+"""Top-level orchestrator: single image + text -> 3D Gaussian scene -> videos.
+
+The TPU-native counterpart of the reference ``LucidDreamer`` class
+(luciddreamer.py:58-573): ``create`` dreams a point cloud, bakes Gaussians,
+and saves a ply; ``render_video`` renders preset paths; ``run`` does both.
+External generative models are injected via the dream protocols instead of
+being hardwired diffusers/torch-hub downloads.
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from luciddreamer_tpu.config import CameraConfig, GSConfig
+from luciddreamer_tpu.dream import DreamConfig, generate_pcd
+from luciddreamer_tpu.model import ply as plyio
+from luciddreamer_tpu.model.gaussians import create_from_pcd
+from luciddreamer_tpu.scene import Scene
+from luciddreamer_tpu.train.loop import Trainer
+from luciddreamer_tpu import video as videolib
+
+MAX_PCD_POINTS = 1_000_000    # subsample cap when lifting the cloud
+
+
+class LucidDreamerTPU:
+    def __init__(
+        self,
+        gs_config: Optional[GSConfig] = None,
+        cam_config: Optional[CameraConfig] = None,
+        dream_config: Optional[DreamConfig] = None,
+        save_dir: str = "./output",
+        capacity_multiplier: float = 4.0,
+        seed: int = 1,
+    ):
+        self.opt = gs_config or GSConfig()
+        self.cam = cam_config or CameraConfig()
+        self.dream_cfg = dream_config or DreamConfig()
+        self.save_dir = save_dir
+        self.capacity_multiplier = capacity_multiplier
+        self.seed = seed
+        self.scene: Optional[Scene] = None
+        self.trainer: Optional[Trainer] = None
+        self.params = None
+        self.traindata = None
+
+    # ---- pipeline stages (reference luciddreamer.py:175-194) ----
+
+    def create(self, rgb_cond, txt: str = "", neg_txt: str = "",
+               pcdgenpath: str = "lookdown", seed: Optional[int] = None,
+               diff_steps: int = 30, progress_callback=None):
+        seed = self.seed if seed is None else seed
+        self.traindata = generate_pcd(
+            rgb_cond, txt, neg_txt, pcdgenpath, seed, diff_steps,
+            cam=self.cam, config=self.dream_cfg,
+            progress_callback=progress_callback,
+        )
+        self.scene = Scene(self.traindata)
+        self.training(progress_callback=progress_callback)
+        os.makedirs(self.save_dir, exist_ok=True)
+        path = os.path.join(self.save_dir, "gsplat.ply")
+        self.save_ply(path)
+        return path
+
+    def training(self, progress_callback=None):
+        if self.scene is None:
+            raise RuntimeError("Build the 3D scene first (call create)")
+        pts = self.scene.pcd_points
+        cols = self.scene.pcd_colors
+        if pts.shape[0] > MAX_PCD_POINTS:
+            idx = np.random.default_rng(0).choice(
+                pts.shape[0], MAX_PCD_POINTS, replace=False
+            )
+            pts, cols = pts[idx], cols[idx]
+        capacity = int(pts.shape[0] * self.capacity_multiplier)
+        params = create_from_pcd(
+            jnp.asarray(pts), jnp.asarray(np.clip(cols, 0.0, 1.0)),
+            sh_degree=self.opt.sh_degree, capacity=capacity,
+        )
+        self.trainer = Trainer(
+            params, self.opt, cameras_extent=self.scene.cameras_extent,
+            seed=self.seed,
+        )
+        views = []
+        for v in self.scene.get_train_views():
+            views.append((v.camera, v.image))
+        cb = None
+        if progress_callback:
+            cb = lambda it, st, l: progress_callback("bake", it, self.opt.iterations)
+        self.trainer.run(views, callback=cb)
+        self.params = self.trainer.state.params
+        return self.params
+
+    def render_video(self, preset: str = "llff", progress_callback=None):
+        if self.params is None:
+            raise RuntimeError("No trained Gaussians; call create/load first")
+        if self.scene is not None:
+            cams = self.scene.get_preset_cameras(preset)
+        else:
+            # scene-less rendering (e.g. from a loaded ply): synthesize the
+            # preset path instead of shipping cameras/*.json data files
+            from luciddreamer_tpu.scene.scene import _frame_to_camera
+            from luciddreamer_tpu.core.transforms import focal2fov, fov2focal
+            from luciddreamer_tpu.trajectory import get_camera_paths
+
+            H, W = self.cam.image_height, self.cam.image_width
+            fovx = self.cam.fov_x * 1.2
+            fovy = focal2fov(fov2focal(fovx, W), H)
+            cams = [
+                _frame_to_camera(fr["transform_matrix"], fovx, fovy, W, H)
+                for fr in get_camera_paths()[preset]["frames"]
+            ]
+        bg = jnp.array([1.0, 1.0, 1.0] if self.opt.white_background
+                       else [0.0, 0.0, 0.0])
+        rgbs, depths = videolib.render_frames(
+            self.params, cams, bg, active_sh_degree=self.opt.sh_degree,
+        )
+        return videolib.write_videos(rgbs, depths, self.save_dir, preset)
+
+    def run(self, rgb_cond, txt, neg_txt, pcdgenpath, seed, diff_steps,
+            render_preset: str = "llff"):
+        self.create(rgb_cond, txt, neg_txt, pcdgenpath, seed, diff_steps)
+        return self.render_video(render_preset)
+
+    # ---- checkpointing (luciddreamer.py:196-205) ----
+
+    def save_ply(self, path: str):
+        if os.path.exists(path):
+            self.params = plyio.load_ply(path)
+            return path
+        plyio.save_ply(self.params, path)
+        return path
+
+    def load_ply(self, path: str, capacity: Optional[int] = None):
+        self.params = plyio.load_ply(path, capacity=capacity)
+        return self.params

@@ -35,6 +35,11 @@ def create_from_pcd(
     3-NN mean squared distance, identity rotation, opacity 0.1."""
     P = points.shape[0]
     capacity = capacity or P
+    if capacity < P:
+        raise ValueError(
+            f"capacity {capacity} < point count {P}; subsample the cloud or "
+            "raise the capacity"
+        )
     n_rest = (sh_degree + 1) ** 2 - 1
 
     dist2 = jnp.maximum(mean_sq_dist_3nn(points), 1e-7)

@@ -1,0 +1,274 @@
+"""ZoeDepth metric-bins head + inference pipeline, in flax.
+
+Re-architecture of the reference's vendored ZoeDepth
+(ZoeDepth/zoedepth/models/zoedepth/zoedepth_v1.py, layers/*.py): seed bin
+regressor on the DPT bottleneck, attractor layers refining bin centers
+across decoder scales, and a conditional log-binomial per-pixel
+distribution; depth = sum p * c (zoedepth_v1.py:124-202).  The default
+config mirrors config_zoedepth.json: 64 bins, softplus (unnormed) bin
+centers, inverse attractors with alpha=1000/gamma=2, kind=mean,
+n_attractors (16, 8, 4, 1), bin embedding 128.
+
+Inference reproduces DepthModel.infer's test-time augmentation
+(depth_model.py:57-128): horizontal-flip averaging and reflect-pad
+(pad = sqrt(h/2)*3) with bicubic resize back.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from luciddreamer_tpu.models.backbone import (
+    BEIT_LARGE_384,
+    VIT_TINY_TEST,
+    DPT,
+    ViTConfig,
+    _resize,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class ZoeDepthConfig:
+    vit: ViTConfig = BEIT_LARGE_384
+    n_bins: int = 64
+    bin_embedding_dim: int = 128
+    n_attractors: Sequence[int] = (16, 8, 4, 1)
+    attractor_alpha: float = 1000.0
+    attractor_gamma: float = 2.0
+    attractor_kind: str = "mean"          # 'mean' | 'sum'
+    attractor_type: str = "inv"           # 'inv' | 'exp'
+    min_depth: float = 1e-3
+    max_depth: float = 10.0
+    min_temp: float = 0.0212
+    max_temp: float = 50.0
+    midas_features: int = 256
+    img_size: tuple[int, int] = (384, 512)
+
+    @staticmethod
+    def tiny():
+        return ZoeDepthConfig(vit=VIT_TINY_TEST, n_bins=8,
+                              bin_embedding_dim=16, n_attractors=(4, 2, 2, 1),
+                              midas_features=32, img_size=(64, 64))
+
+
+def inv_attractor(dx, alpha, gamma):
+    """dc = dx / (1 + alpha dx^gamma) (attractor.py:45-59; gamma is even)."""
+    return dx / (1.0 + alpha * dx**gamma)
+
+
+def exp_attractor(dx, alpha, gamma):
+    """dc = exp(-alpha |dx|^gamma) dx (attractor.py:29-42)."""
+    return jnp.exp(-alpha * jnp.abs(dx) ** gamma) * dx
+
+
+class SeedBinRegressorUnnormed(nn.Module):
+    """Softplus bin widths, unbounded centers (localbins_layers.py
+    SeedBinRegressorUnnormed — the 'softplus' bin_centers_type)."""
+
+    n_bins: int
+    mlp_dim: int = 256
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.Conv(self.mlp_dim, (1, 1), name="c1")(x)
+        y = nn.relu(y)
+        y = nn.Conv(self.n_bins, (1, 1), name="c2")(y)
+        centers = nn.softplus(y)
+        return centers, centers
+
+
+class Projector(nn.Module):
+    out_dim: int
+    mlp_dim: int = 128
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.Conv(self.mlp_dim, (1, 1), name="c1")(x)
+        y = nn.relu(y)
+        return nn.Conv(self.out_dim, (1, 1), name="c2")(y)
+
+
+class AttractorLayerUnnormed(nn.Module):
+    """attractor.py AttractorLayerUnnormed: softplus attractor points pull
+    the (unbounded) bin centers."""
+
+    n_attractors: int
+    alpha: float
+    gamma: float
+    kind: str
+    attractor_type: str
+    mlp_dim: int = 128
+
+    @nn.compact
+    def __call__(self, x, b_prev, prev_b_embedding=None):
+        if prev_b_embedding is not None:
+            prev_b_embedding = _resize(prev_b_embedding, x.shape[1], x.shape[2])
+            x = x + prev_b_embedding
+        a = nn.Conv(self.mlp_dim, (1, 1), name="c1")(x)
+        a = nn.relu(a)
+        a = nn.Conv(self.n_attractors, (1, 1), name="c2")(a)
+        a = nn.softplus(a)                                 # (B, h, w, A)
+
+        b_centers = _resize(b_prev, x.shape[1], x.shape[2])
+        dist = inv_attractor if self.attractor_type == "inv" else exp_attractor
+        dx = a[..., :, None] - b_centers[..., None, :]     # (B, h, w, A, nbins)
+        delta = dist(dx, self.alpha, self.gamma)
+        delta = jnp.sum(delta, axis=-2)
+        if self.kind == "mean":
+            delta = delta / self.n_attractors
+        b_new = b_centers + delta
+        return b_new, b_new
+
+
+class ConditionalLogBinomial(nn.Module):
+    """dist_layers.py:75-120: per-pixel (p, t) from features -> log-binomial
+    distribution over n_classes bins."""
+
+    n_classes: int
+    min_temp: float
+    max_temp: float
+    bottleneck_factor: int = 2
+    p_eps: float = 1e-4
+
+    @nn.compact
+    def __call__(self, x, cond):
+        feat = jnp.concatenate([x, cond], axis=-1)
+        bott = feat.shape[-1] // self.bottleneck_factor
+        y = nn.Conv(bott, (1, 1), name="mlp1")(feat)
+        y = nn.gelu(y)
+        y = nn.Conv(4, (1, 1), name="mlp2")(y)
+        y = nn.softplus(y)
+        p2, t2 = y[..., :2], y[..., 2:]
+        p2 = p2 + self.p_eps
+        p = p2[..., 0] / (p2[..., 0] + p2[..., 1])
+        t2 = t2 + self.p_eps
+        t = t2[..., 0] / (t2[..., 0] + t2[..., 1])
+        t = (self.max_temp - self.min_temp) * t + self.min_temp
+
+        K = self.n_classes
+        k = jnp.arange(K, dtype=jnp.float32)
+        eps = 1e-4
+        p = jnp.clip(p, eps, 1.0 - eps)[..., None]
+        t = t[..., None]
+
+        def log_binom(n, kk):
+            n = n + eps
+            kk = kk + eps
+            return (n * jnp.log(n) - kk * jnp.log(kk)
+                    - (n - kk) * jnp.log(n - kk + eps))
+
+        logits = (
+            log_binom(jnp.float32(K - 1), k)
+            + k * jnp.log(p)
+            + (K - 1 - k) * jnp.log(1.0 - p)
+        )
+        return jax.nn.softmax(logits / t, axis=-1)        # (B, h, w, K)
+
+
+class FlaxZoeDepth(nn.Module):
+    """The full model: DPT core + metric bins head (zoedepth_v1.py:124-202)."""
+
+    cfg: ZoeDepthConfig
+
+    @nn.compact
+    def __call__(self, x):
+        """x: (B, H, W, 3) in [0, 1].  Returns dict with metric_depth
+        (B, H, W), rel_depth (B, H, W), bin_centers."""
+        c = self.cfg
+        # MiDaS normalization: mean/std 0.5 (midas.py:180-181)
+        xin = (x - 0.5) / 0.5
+        rel_depth, hooks = DPT(c.vit, features=c.midas_features,
+                               name="core")(xin)
+        out_conv, btlnck, r4, r3, r2, r1 = hooks
+        x_blocks = (r4, r3, r2, r1)
+
+        xb = nn.Conv(btlnck.shape[-1], (1, 1), name="conv2")(btlnck)
+        _, seed_centers = SeedBinRegressorUnnormed(
+            c.n_bins, name="seed_bin_regressor")(xb)
+        b_prev = seed_centers
+        prev_emb = Projector(c.bin_embedding_dim, name="seed_projector")(xb)
+
+        for i, (blk, n_att) in enumerate(zip(x_blocks, c.n_attractors)):
+            emb = Projector(c.bin_embedding_dim, name=f"projector{i}")(blk)
+            b_prev, b_centers = AttractorLayerUnnormed(
+                n_att, c.attractor_alpha, c.attractor_gamma,
+                c.attractor_kind, c.attractor_type, name=f"attractor{i}",
+            )(emb, b_prev, prev_emb)
+            prev_emb = emb
+
+        last = out_conv
+        rel_cond = _resize(rel_depth[..., None], last.shape[1], last.shape[2])
+        last = jnp.concatenate([last, rel_cond], axis=-1)
+        emb_up = _resize(prev_emb, last.shape[1], last.shape[2])
+        probs = ConditionalLogBinomial(
+            c.n_bins, c.min_temp, c.max_temp,
+            name="conditional_log_binomial")(last, emb_up)
+
+        centers_up = _resize(b_centers, probs.shape[1], probs.shape[2])
+        centers_up = jnp.clip(centers_up, c.min_depth, c.max_depth)
+        depth = jnp.sum(probs * centers_up, axis=-1)       # (B, h', w')
+        B, H, W, _ = x.shape
+        depth = _resize(depth[..., None], H, W)[..., 0]
+        return {
+            "metric_depth": depth,
+            "rel_depth": rel_depth,
+            "bin_centers": centers_up,
+        }
+
+
+class FlaxZoeDepthEstimator:
+    """DepthEstimator protocol implementation with the reference's test-time
+    augmentation (flip averaging + reflect-pad, depth_model.py:57-128).
+    Random-initialized unless given params (no checkpoint egress here)."""
+
+    def __init__(self, cfg: ZoeDepthConfig | None = None, params=None,
+                 seed: int = 0, pad_aug: bool = True, flip_aug: bool = True):
+        self.cfg = cfg or ZoeDepthConfig.tiny()
+        self.model = FlaxZoeDepth(self.cfg)
+        if params is None:
+            h, w = self.cfg.img_size
+            params = self.model.init(
+                jax.random.PRNGKey(seed), jnp.zeros((1, h, w, 3))
+            )
+        self.params = params
+        self.pad_aug = pad_aug
+        self.flip_aug = flip_aug
+        self._apply = jax.jit(self.model.apply)
+
+    def _infer_once(self, x):
+        out = self._apply(self.params, x)
+        return out["metric_depth"]
+
+    def infer(self, x):
+        """(B, H, W, 3) -> (B, H, W) with pad + flip augmentation."""
+        B, H, W, _ = x.shape
+        if self.pad_aug:
+            # reflect pad: sqrt(h/2)*3 (depth_model.py:85-99)
+            ph = max(int(np.sqrt(H / 2) * 3), 0)
+            pw = max(int(np.sqrt(W / 2) * 3), 0)
+            xp = jnp.pad(x, ((0, 0), (ph, ph), (pw, pw), (0, 0)),
+                         mode="reflect")
+        else:
+            ph = pw = 0
+            xp = x
+        ih, iw = self.cfg.img_size
+        xr = jax.image.resize(xp, (B, ih, iw, 3), "bilinear")
+        d = self._infer_once(xr)
+        if self.flip_aug:
+            d = 0.5 * (d + self._infer_once(xr[:, :, ::-1])[:, :, ::-1])
+        d = jax.image.resize(d[..., None],
+                             (B, xp.shape[1], xp.shape[2], 1), "bicubic")[..., 0]
+        if ph > 0 or pw > 0:
+            d = d[:, ph : d.shape[1] - ph, pw : d.shape[2] - pw]
+        return d
+
+    def __call__(self, image):
+        """DepthEstimator protocol: (H, W, 3) [0,1] -> (H, W)."""
+        d = self.infer(jnp.asarray(image, jnp.float32)[None])
+        return d[0]

@@ -29,8 +29,9 @@ from luciddreamer_tpu.render.xla_blend import blend_tiles_xla, tilemajor_to_imag
 
 def default_pair_capacity(capacity: int, multiplier: float = 8.0) -> int:
     """Static pair budget; the reference sizes this on device at runtime
-    (rasterizer_impl.cu:281-282)."""
-    return int(capacity * multiplier)
+    (rasterizer_impl.cu:281-282).  Floor of 4096 keeps small scenes from
+    overflowing on dense screen coverage."""
+    return max(4096, int(capacity * multiplier))
 
 
 def render_tiled(
