@@ -171,15 +171,25 @@ def border_mask(mask2):
 
 
 def idw_interpolate(anchor_xy, anchor_values, query_xy, k: int = 4,
-                    eps: float = 1e-6):
+                    eps: float = 1e-6, query_block: int = 8192):
     """Inverse-distance-weighted k-NN interpolation of scattered anchors at
     query pixels — the griddata linear+nearest fallback pair used for the
     border-depth compensation (luciddreamer.py:478-480).  anchor_xy (N, 2),
-    anchor_values (N,), query_xy (M, 2) -> (M,)."""
-    d2 = jnp.sum(
-        (query_xy[:, None, :] - anchor_xy[None, :, :]) ** 2, axis=-1
-    )
-    neg, idx = jax.lax.top_k(-d2, k)
-    w = 1.0 / (jnp.sqrt(jnp.maximum(-neg, 0.0)) + eps)
-    vals = anchor_values[idx]
-    return jnp.sum(w * vals, axis=-1) / jnp.sum(w, axis=-1)
+    anchor_values (N,), query_xy (M, 2) -> (M,).
+
+    Queries are processed in blocks: the full (M, N) distance matrix at
+    512x512 x 8k anchors would be ~8 GB of HBM (it crashed a v5e chip)."""
+    M = query_xy.shape[0]
+    nb = -(-M // query_block)
+    pad = nb * query_block - M
+    q = jnp.pad(query_xy, ((0, pad), (0, 0)))
+
+    def block(qb):
+        d2 = jnp.sum((qb[:, None, :] - anchor_xy[None, :, :]) ** 2, axis=-1)
+        neg, idx = jax.lax.top_k(-d2, k)
+        w = 1.0 / (jnp.sqrt(jnp.maximum(-neg, 0.0)) + eps)
+        vals = anchor_values[idx]
+        return jnp.sum(w * vals, axis=-1) / jnp.sum(w, axis=-1)
+
+    out = jax.lax.map(block, q.reshape(nb, query_block, 2))
+    return out.reshape(-1)[:M]

@@ -103,3 +103,26 @@ def test_compute_metrics_perfect_and_offset(rng):
     # crops reduce the valid set but still compute
     m3 = compute_metrics(gt, gt, crop="garg")
     assert m3["a1"] == 1.0
+
+
+def test_depth_trainer_overfits_tiny_batch(rng):
+    from luciddreamer_tpu.models.depth_trainer import (
+        DepthTrainConfig,
+        DepthTrainer,
+    )
+    from luciddreamer_tpu.models.zoedepth import ZoeDepthConfig
+
+    cfg = ZoeDepthConfig.tiny()
+    # the tiny net needs a gentle lr; the production default (1.61e-4,
+    # config_zoedepth.json) is in the same regime
+    tcfg = DepthTrainConfig(lr=1e-4, epochs=1, steps_per_epoch=40,
+                            pct_start=0.3)
+    tr = DepthTrainer(cfg, tcfg, seed=0)
+    img = jnp.asarray(rng.uniform(size=(1, 64, 64, 3)), jnp.float32)
+    depth = jnp.full((1, 64, 64), 2.0)
+    losses = [tr.train_batch(img, depth) for _ in range(40)]
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] * 0.9, (losses[0], losses[-1])
+    m = tr.validate([(img, depth)])
+    assert np.isfinite(m["abs_rel"])
+    assert tr.best_params is not None
