@@ -82,6 +82,9 @@ class LucidDreamerTPU:
         )
         self.trainer = Trainer(
             params, self.opt, cameras_extent=self.scene.cameras_extent,
+            # bound the pair buffer: 8x capacity can reach tens of millions
+            # of slots for lifted clouds, far beyond what a 512^2 frame uses
+            pair_cap=min(8 * capacity, 6_000_000),
             seed=self.seed,
         )
         views = []

@@ -126,3 +126,61 @@ def test_depth_trainer_overfits_tiny_batch(rng):
     m = tr.validate([(img, depth)])
     assert np.isfinite(m["abs_rel"])
     assert tr.best_params is not None
+
+
+def test_depth_data_pipeline(rng, tmp_path):
+    import os
+    from PIL import Image
+
+    from luciddreamer_tpu.models.depth_data import (
+        AugmentConfig,
+        augment_sample,
+        batched,
+        load_nyu_folder,
+        round_robin,
+    )
+
+    # synthetic NYU-style folder
+    d = os.path.join(tmp_path, "scene1")
+    os.makedirs(d)
+    for i in range(3):
+        rgb = (rng.uniform(size=(32, 48, 3)) * 255).astype(np.uint8)
+        Image.fromarray(rgb).save(os.path.join(d, f"rgb_{i:05d}.jpg"))
+        depth = (rng.uniform(size=(32, 48)) * 5000).astype(np.int32)
+        Image.fromarray(depth, mode="I").save(
+            os.path.join(d, f"sync_depth_{i:05d}.png"))
+    items = list(load_nyu_folder(str(tmp_path)))
+    assert len(items) == 3
+    img, dep = items[0]
+    assert img.shape == (32, 48, 3) and dep.shape == (32, 48)
+    assert dep.max() <= 5.0 + 1e-6          # mm -> m
+
+    cfg = AugmentConfig(crop_h=24, crop_w=32, rotate_deg=0.0)
+    ai, ad = augment_sample(img, dep, np.random.default_rng(0), cfg)
+    assert ai.shape == (24, 32, 3) and ad.shape == (24, 32)
+
+    loader = batched(items, 2, np.random.default_rng(0), cfg, repeat=False)
+    b_img, b_dep = next(loader)
+    assert b_img.shape == (2, 24, 32, 3)
+
+    rr = round_robin(iter([1, 2, 3]), iter(["a", "b", "c"]))
+    assert [next(rr) for _ in range(4)] == [1, "a", 2, "b"]
+
+
+def test_maskops(rng):
+    from luciddreamer_tpu.dream.maskops import (
+        controlnet_inpaint_condition,
+        pad_mask,
+    )
+
+    m = np.zeros((16, 16), np.float32)
+    m[8, 8] = 1.0
+    out = np.asarray(pad_mask(m, 2))
+    assert out[8, 8] and out[6, 6] and out[10, 10]
+    assert not out[5, 8]
+
+    img = rng.uniform(size=(16, 16, 3)).astype(np.float32)
+    cond = np.asarray(controlnet_inpaint_condition(img, m))
+    assert cond.shape == (1, 3, 16, 16)
+    assert (cond[0, :, 8, 8] == -1.0).all()
+    np.testing.assert_allclose(cond[0, :, 0, 0], img[0, 0], atol=1e-6)
