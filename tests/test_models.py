@@ -184,3 +184,41 @@ def test_maskops(rng):
     assert cond.shape == (1, 3, 16, 16)
     assert (cond[0, :, 8, 8] == -1.0).all()
     np.testing.assert_allclose(cond[0, :, 0, 0], img[0, 0], atol=1e-6)
+
+
+def test_zoedepth_nk_forward(rng):
+    from luciddreamer_tpu.models.zoedepth import ZoeDepthConfig
+    from luciddreamer_tpu.models.zoedepth_nk import BinConf, FlaxZoeDepthNK
+
+    cfg = ZoeDepthConfig.tiny()
+    confs = (BinConf("nyu", 8, 1e-3, 10.0), BinConf("kitti", 8, 1e-3, 80.0))
+    m = FlaxZoeDepthNK(cfg, confs)
+    x = jnp.asarray(rng.uniform(size=(2, 64, 64, 3)), jnp.float32)
+    params = m.init(jax.random.PRNGKey(0), x)
+    out = m.apply(params, x)
+    assert out["metric_depth"].shape == (2, 64, 64)
+    assert out["domain_logits"].shape == (2, 2)
+    assert out["per_domain_depth"].shape == (2, 64, 64, 2)
+    assert np.isfinite(np.asarray(out["metric_depth"])).all()
+
+
+def test_fetch_checked_local(tmp_path, rng):
+    import os
+
+    from luciddreamer_tpu.utils.download import fetch_checked, md5_of
+
+    src = os.path.join(tmp_path, "blob.bin")
+    data = rng.bytes(1024)
+    open(src, "wb").write(data)
+    md5 = md5_of(src)
+    dest = os.path.join(tmp_path, "cache", "blob.bin")
+    out = fetch_checked("file://" + src, dest, md5=md5)
+    assert open(out, "rb").read() == data
+    # cached verified copy short-circuits
+    assert fetch_checked("file:///nonexistent", dest, md5=md5) == dest
+    # corrupt cache is rejected and (failing re-download) raises
+    open(dest, "wb").write(b"junk")
+    import pytest as _pytest
+
+    with _pytest.raises(IOError):
+        fetch_checked("file:///nonexistent", dest, md5=md5)
