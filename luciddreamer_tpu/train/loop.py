@@ -190,6 +190,24 @@ class Trainer:
             cam, img, depth = norm[self.py_rng.integers(len(norm))]
             self.state, loss, ovf = self._step_fn(self.state, cam, img, depth)
 
+            # pair-capacity growth: an overflowed render drops pairs, so
+            # double the budget and retrace for subsequent steps (the
+            # reference resizes device buffers mid-step,
+            # rasterize_points.cu:27-33; we accept one truncated step and
+            # pay a recompile instead — the donated state can't be redone)
+            if bool(ovf):
+                if self.pair_cap is None:
+                    from luciddreamer_tpu.render.tiled import (
+                        default_pair_capacity,
+                    )
+
+                    self.pair_cap = default_pair_capacity(
+                        self.state.params.capacity
+                    )
+                self.pair_cap *= 2
+                self._step_fn = jax.jit(self._step, donate_argnums=(0,))
+                self.last_overflow = True
+
             if it < cfg.densify_until_iter:
                 if (
                     it > cfg.densify_from_iter

@@ -76,3 +76,18 @@ def test_training_with_depth_loss(rng):
     state = tr.run(views)
     assert int(state.step) == 20
     assert np.isfinite(np.asarray(state.params.xyz)).all()
+
+
+def test_trainer_grows_pair_capacity_on_overflow(rng):
+    """A deliberately tiny pair_cap must double after an overflowed step."""
+    views = _target_scene(rng)
+    pts = rng.normal(size=(40, 3)).astype(np.float32) * 0.5 + [0, 0, 3.0]
+    cols = rng.uniform(size=(40, 3)).astype(np.float32)
+    from luciddreamer_tpu.model.gaussians import create_from_pcd
+
+    params = create_from_pcd(jnp.asarray(pts), jnp.asarray(cols), capacity=64)
+    cfg = GSConfig(iterations=3, densify_from_iter=1000)
+    tr = Trainer(params, cfg, cameras_extent=1.0, pair_cap=16, seed=0)
+    tr.run(views)
+    assert tr.last_overflow
+    assert tr.pair_cap >= 32
