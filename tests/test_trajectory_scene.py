@@ -194,3 +194,36 @@ def test_near_mean_map():
     out = near_mean_map(arr, mask)
     # interior pixel (1,1)=5: neighbors 1,4,6,9 -> mean 5
     assert float(out[1, 1]) == pytest.approx(5.0, abs=1e-4)
+
+
+def test_export_camera_json_roundtrip(tmp_path):
+    from luciddreamer_tpu.trajectory.export import export_all, export_camera_json
+
+    path = export_camera_json("rotate360", os.path.join(tmp_path, "r.json"))
+    cams = load_camera_json(path, H=32, W=32)
+    assert len(cams) == 10
+    paths = export_all(os.path.join(tmp_path, "all"))
+    assert len(paths) == 9
+    llff = load_camera_json(os.path.join(tmp_path, "all", "llff.json"),
+                            H=16, W=16)
+    assert len(llff) == 400
+
+
+def test_reference_camera_presets_load():
+    """The reference's shipped cameras/*.json files parse with our loader
+    (schema compatibility, SURVEY.md layer map aux row)."""
+    import glob
+
+    files = sorted(glob.glob("/root/reference/cameras/*.json"))
+    if not files:
+        pytest.skip("reference cameras not mounted")
+    total = 0
+    for f in files[:5]:
+        cams = load_camera_json(f, H=64, W=64)
+        assert len(cams) > 0
+        vm = np.asarray(cams[0].viewmatrix)
+        # valid rigid transform: orthonormal rotation block
+        RtR = vm[:3, :3] @ vm[:3, :3].T
+        np.testing.assert_allclose(RtR, np.eye(3), atol=1e-4)
+        total += len(cams)
+    assert total > 0
