@@ -190,6 +190,18 @@ class Trainer:
             cam, img, depth = norm[self.py_rng.integers(len(norm))]
             self.state, loss, ovf = self._step_fn(self.state, cam, img, depth)
 
+            if self.cfg.debug and not bool(jnp.isfinite(loss)):
+                # snapshot-on-failure (the reference dumps snapshot_fw/bw on
+                # CUDA errors, rasterizer __init__.py:83-90)
+                from luciddreamer_tpu.utils.debug import check_finite
+
+                check_finite(
+                    {"params": self.state.params.param_pytree(),
+                     "gt": img, "camera": {"view": cam.viewmatrix}},
+                    outdir="debug_snapshots", tag=f"train_it{it}",
+                )
+                raise FloatingPointError(f"non-finite loss at iteration {it}")
+
             # pair-capacity growth: an overflowed render drops pairs, so
             # double the budget and retrace for subsequent steps (the
             # reference resizes device buffers mid-step,

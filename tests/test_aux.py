@@ -119,3 +119,39 @@ def test_phase_timer():
         pass
     assert t.counts["a"] == 2
     assert "a" in t.summary()
+
+
+def test_debug_snapshot_and_check(rng, tmp_path):
+    from luciddreamer_tpu.utils.debug import (
+        NonFiniteError,
+        check_finite,
+        find_nonfinite,
+    )
+
+    good = {"a": jnp.ones(3), "b": {"c": jnp.zeros(2)}}
+    assert find_nonfinite(good) == []
+    check_finite(good)  # no raise
+
+    bad = {"a": jnp.array([1.0, np.nan]), "ints": jnp.arange(3)}
+    names = find_nonfinite(bad)
+    assert len(names) == 1 and "a" in names[0]
+    import pytest as _pytest
+
+    with _pytest.raises(NonFiniteError) as ei:
+        check_finite(bad, outdir=str(tmp_path), tag="t")
+    assert ei.value.snapshot_path and os.path.exists(ei.value.snapshot_path)
+    loaded = np.load(ei.value.snapshot_path)
+    assert any("a" in k for k in loaded.files)
+
+
+def test_multihost_single_process_helpers():
+    from luciddreamer_tpu.parallel.multihost import (
+        initialize,
+        is_main_process,
+        local_shard,
+    )
+
+    assert initialize() is False          # single host: no-op
+    assert is_main_process()
+    assert local_shard([1, 2, 3, 4, 5], axis_size=2, index=0) == [1, 3, 5]
+    assert local_shard([1, 2, 3, 4, 5], axis_size=2, index=1) == [2, 4]
