@@ -23,7 +23,8 @@ from luciddreamer_tpu.scene import Scene
 from luciddreamer_tpu.train.loop import Trainer
 from luciddreamer_tpu import video as videolib
 
-MAX_PCD_POINTS = 1_000_000    # subsample cap when lifting the cloud
+MAX_PCD_POINTS = 400_000      # subsample cap when lifting the cloud
+MAX_CAPACITY = 1_200_000      # hard Gaussian-buffer bound (HBM budget)
 
 
 class LucidDreamerTPU:
@@ -71,11 +72,19 @@ class LucidDreamerTPU:
         pts = self.scene.pcd_points
         cols = self.scene.pcd_colors
         if pts.shape[0] > MAX_PCD_POINTS:
-            idx = np.random.default_rng(0).choice(
-                pts.shape[0], MAX_PCD_POINTS, replace=False
-            )
+            # Morton-stratified decimation keeps spatial coverage (native
+            # C++ tool); falls back to random choice
+            try:
+                from luciddreamer_tpu import native
+
+                idx = native.morton_subsample(pts, MAX_PCD_POINTS)
+            except Exception:
+                idx = np.random.default_rng(0).choice(
+                    pts.shape[0], MAX_PCD_POINTS, replace=False
+                )
             pts, cols = pts[idx], cols[idx]
-        capacity = int(pts.shape[0] * self.capacity_multiplier)
+        capacity = min(int(pts.shape[0] * self.capacity_multiplier),
+                       MAX_CAPACITY)
         params = create_from_pcd(
             jnp.asarray(pts), jnp.asarray(np.clip(cols, 0.0, 1.0)),
             sh_degree=self.opt.sh_degree, capacity=capacity,
