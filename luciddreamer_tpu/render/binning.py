@@ -11,28 +11,36 @@ sort pipeline (rasterizer_impl.cu:68-138,276-319).  Differences, by design:
   the blend kernels stream aligned (chunk, 16)-float32 slabs with one DMA and
   no tail masking; every tile owns >= 1 chunk (empty tiles emit background);
 * ordering parity: within a tile, pairs are ordered by (depth, gaussian
-  index) — bit-identical to the reference's stable radix sort over
-  ``tileID<<32 | float_bits(depth)`` keys for positive depths.
+  index) — identical to the reference's stable radix sort over
+  ``tileID<<32 | float_bits(depth)`` keys for positive depths.  The depth is
+  reduced to an int32 *rank* (one stable P-element argsort) so the pair sort
+  runs on two unique int keys and needs no stability flag.
 
-Memory-movement design (profiled on TPU v5e at 1M gaussians / 3.5M pairs —
-the sort is only ~6% of binning; random gathers/scatters dominate):
+Memory-movement design (profiled on TPU v5e at 1M gaussians / 3.5M pairs):
+XLA scatters are the enemy — a (4M, 16) f32 scatter-add costs ~420 ms while
+the equivalent gather costs ~25 ms and a 4M cumsum ~0.5 ms.  So:
 
-1. pack per-gaussian attributes into ONE (P+1, 16) table (row P is an
-   all-zero sentinel whose valid flag is 0) — sequential writes;
-2. expand pair slots with the scatter+cumsum trick and read tile rects
-   through a packed (P, 4) table — one row-gather instead of four;
-3. ONE stable 2-key (tile, depth) lax.sort;
-4. scatter only a 4-byte inverse-permutation index per packed slot
-   (int scatter is ~8x cheaper than scattering 64-byte rows);
-5. materialize packed attrs as a contiguous ROW GATHER from the table —
-   gathers are several times faster than scatters on TPU, and its VJP is
-   the deterministic segment-sum that replaces the reference backward's
-   atomicAdd (backward.cu:537,574-583).
+1. per-gaussian attributes live in ONE (P+1, 16) table (row P is an all-zero
+   sentinel with valid=0) — sequential writes;
+2. pair expansion uses the scatter+cumsum trick (the only unavoidable
+   scatters: 1M one-int marks and the 4M slot->packed permutation index);
+3. ONE unstable 2-int-key (tile, depth_rank) lax.sort carrying (gid, slot);
+4. per-tile ranges come from searchsorted over the sorted tile keys (a
+   scatter-add histogram costs ~36 ms; binary search is free);
+5. the packed->sorted index map is CLOSED FORM (no inverse-permutation
+   scatter): packed position p sits in tile t = chunk_tile[p/chunk] at rank
+   p - padded_start[t];
+6. packed attrs are a contiguous row GATHER from the table, wrapped in a
+   custom VJP whose backward is gather + cumsum-difference segment sums —
+   the deterministic replacement for the reference backward's atomicAdd
+   (backward.cu:537,574-583) that never touches an XLA scatter-add.
 """
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -79,6 +87,49 @@ def gaussian_attr_table(proc: ProcessedGaussians) -> jax.Array:
     return jnp.concatenate([table, jnp.zeros((1, ATTR_DIM), jnp.float32)])
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def packed_gather(table, gid, slot2packed, offsets, counts, pair_cap):
+    """attrs = table[gid] with a scatter-free backward.
+
+    The VJP of a plain gather is an XLA scatter-add (~420 ms at 4M x 16 on
+    v5e).  Here the cotangent is instead (a) gathered back to *slot order*
+    (pairs of one gaussian are contiguous slots by construction of the
+    expansion), (b) prefix-summed once, and (c) segment-reduced by
+    cumsum-difference at the per-gaussian slot ranges (~70 ms total).
+    Deterministic, like every JAX reduction — this is the role atomicAdd
+    plays in the reference backward (backward.cu:537,574-583).
+    """
+    del slot2packed, offsets, counts, pair_cap
+    return table[gid]
+
+
+def _packed_gather_fwd(table, gid, slot2packed, offsets, counts, pair_cap):
+    return table[gid], (gid, slot2packed, offsets, counts, table.shape[0])
+
+
+def _packed_gather_bwd(pair_cap, res, d):
+    gid, slot2packed, offsets, counts, rows = res
+    # (a) cotangent rows in slot order; out-of-range (invalid slot / dropped
+    # pair) indices read zero
+    d_slot = jnp.take(d, slot2packed, axis=0, mode="fill", fill_value=0.0,
+                      indices_are_sorted=False, unique_indices=False)
+    # (b) one prefix sum over all pair slots
+    cs = jnp.cumsum(d_slot, axis=0)
+    cs = jnp.concatenate([jnp.zeros((1, d.shape[1]), d.dtype), cs], axis=0)
+    # (c) per-gaussian segment sums = cs[end] - cs[start]
+    lo = jnp.clip(offsets, 0, pair_cap)
+    hi = jnp.clip(offsets + counts, 0, pair_cap)
+    d_rows = cs[hi] - cs[lo]
+    d_table = jnp.concatenate(
+        [d_rows, jnp.zeros((1, d.shape[1]), d.dtype)], axis=0
+    )
+    zint = lambda x: np.zeros(x.shape, jax.dtypes.float0)
+    return d_table, zint(gid), zint(slot2packed), zint(offsets), zint(counts)
+
+
+packed_gather.defvjp(_packed_gather_fwd, _packed_gather_bwd)
+
+
 def build_tile_bins(
     proc: ProcessedGaussians,
     height: int,
@@ -92,6 +143,7 @@ def build_tile_bins(
     grid_x, grid_y = num_tiles_for(height, width, tile_size)
     num_tiles = grid_x * grid_y
     P = proc.depth.shape[0]
+    pair_cap = ((pair_cap + chunk - 1) // chunk) * chunk   # chunk-align
     padded_cap = pair_cap + num_tiles * chunk
     num_chunks_cap = padded_cap // chunk
 
@@ -100,6 +152,16 @@ def build_tile_bins(
     total = cum[-1]
     offsets = cum - counts                                   # exclusive
 
+    # depth -> int32 rank; stable argsort breaks ties by gaussian index, so
+    # ordering by (tile, rank) == the reference's stable (tile, depth) radix
+    # order (positive-float bit order == value order)
+    order = jnp.argsort(proc.depth, stable=True)
+    rank = (
+        jnp.zeros((P,), jnp.int32)
+        .at[order]
+        .set(jnp.arange(P, dtype=jnp.int32))
+    )
+
     # slot -> gaussian id (scatter one marker per gaussian, cumsum recovers
     # the owner of every slot)
     marks = jnp.zeros((pair_cap,), jnp.int32).at[offsets].add(1, mode="drop")
@@ -107,30 +169,37 @@ def build_tile_bins(
     slot = jnp.arange(pair_cap, dtype=jnp.int32)
     slot_valid = slot < total
 
-    # slot -> tile id via the gaussian's screen rect (packed table: one
-    # 4-int row gather per slot)
-    rect = jnp.concatenate([proc.rect_min, proc.rect_max], axis=-1)  # (P, 4)
-    rect_g = rect[g]
-    local = slot - offsets[g]
-    rw = jnp.maximum(rect_g[:, 2] - rect_g[:, 0], 1)
-    tx = rect_g[:, 0] + local % rw
-    ty = rect_g[:, 1] + local // rw
+    # per-slot gaussian info through ONE packed (P, 4) row gather:
+    # [pair offset, depth rank, rect_min_x | rect_min_y << 16, rect width]
+    gtab = jnp.stack(
+        [
+            offsets,
+            rank,
+            proc.rect_min[:, 0] | (proc.rect_min[:, 1] << 16),
+            jnp.maximum(proc.rect_max[:, 0] - proc.rect_min[:, 0], 1),
+        ],
+        axis=-1,
+    )
+    row = gtab[g]                                            # (pair_cap, 4)
+    local = slot - row[:, 0]
+    rw = row[:, 3]
+    tx = (row[:, 2] & 0xFFFF) + local % rw
+    ty = (row[:, 2] >> 16) + local // rw
     tile = jnp.where(slot_valid, ty * grid_x + tx, num_tiles)
 
-    # stable lexicographic (tile, depth) sort == reference 64-bit key order
-    depth = proc.depth[g].astype(jnp.float32)
-    tile_s, _, g_s = jax.lax.sort(
-        (tile.astype(jnp.int32), depth, g.astype(jnp.int32)),
-        num_keys=2,
-        is_stable=True,
+    # ONE unstable 2-int-key sort; (tile, rank) is unique per pair
+    tile_s, _, g_s, slot_s = jax.lax.sort(
+        (tile, row[:, 1], g, slot), num_keys=2, is_stable=False
     )
 
-    # per-tile counts / chunk-aligned packed starts
-    tile_counts = (
-        jnp.zeros((num_tiles + 1,), jnp.int32).at[tile].add(1, mode="drop")
-    )[:num_tiles]
-    tile_start = jnp.cumsum(tile_counts) - tile_counts
-    # every tile gets >= 1 chunk so the Pallas grid walk initializes and
+    # per-tile [start, count) from binary search over the sorted tile keys
+    edges = jnp.searchsorted(
+        tile_s, jnp.arange(num_tiles + 1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+    tile_start = edges[:num_tiles]
+    tile_counts = edges[1:] - edges[:-1]
+
+    # every tile gets >= 1 chunk so the blend grid walk initializes and
     # emits every tile's state; padded_cap's headroom covers this
     padded_counts = jnp.maximum(
         ((tile_counts + chunk - 1) // chunk) * chunk, chunk
@@ -139,22 +208,23 @@ def build_tile_bins(
     padded_start = padded_cumsum - padded_counts
     total_padded = padded_cumsum[-1]
 
+    # sorted position j -> packed destination (closed form, no histogram)
     pair_valid_s = tile_s < num_tiles
-    tile_cl = jnp.clip(tile_s, 0, num_tiles - 1)
-    rank = jnp.arange(pair_cap, dtype=jnp.int32) - tile_start[tile_cl]
-    dest = jnp.where(pair_valid_s, padded_start[tile_cl] + rank, padded_cap)
-
-    # inverse permutation (4-byte scatter), then contiguous row gathers
-    inv = (
-        jnp.full((padded_cap,), pair_cap, jnp.int32)
-        .at[dest]
-        .set(slot, mode="drop")
+    tile_cl = jnp.minimum(tile_s, num_tiles - 1)
+    j = jnp.arange(pair_cap, dtype=jnp.int32)
+    dest = jnp.where(
+        pair_valid_s, padded_start[tile_cl] + (j - tile_start[tile_cl]),
+        padded_cap,
     )
-    g_s_pad = jnp.concatenate([g_s, jnp.array([P], jnp.int32)])
-    gid = g_s_pad[jnp.minimum(inv, pair_cap)]
-    attrs = gaussian_attr_table(proc)[gid]
+    # original slot -> packed destination (for the backward's re-gather);
+    # the single unavoidable pair-scale scatter, 4 bytes per pair
+    slot2packed = (
+        jnp.full((pair_cap,), padded_cap, jnp.int32)
+        .at[slot_s]
+        .set(dest, mode="drop")
+    )
 
-    # chunk -> (tile, k0) mapping, same scatter+cumsum trick over chunks
+    # chunk -> (tile, k0): scatter+cumsum over the (small) chunk axis
     tile_chunk_start = padded_start // chunk
     tile_num_chunks = padded_counts // chunk
     cmarks = (
@@ -162,11 +232,22 @@ def build_tile_bins(
         .at[tile_chunk_start]
         .add(1, mode="drop")
     )
-    chunk_tile = jnp.clip(jnp.cumsum(cmarks) - 1, 0, num_tiles - 1)
+    chunk_tile_raw = jnp.clip(jnp.cumsum(cmarks) - 1, 0, num_tiles - 1)
     chunk_idx = jnp.arange(num_chunks_cap, dtype=jnp.int32)
     chunk_in_range = chunk_idx < (total_padded // chunk)
-    chunk_k0 = (chunk_idx - tile_chunk_start[chunk_tile]) * chunk
-    chunk_tile = jnp.where(chunk_in_range, chunk_tile, num_tiles)
+    chunk_k0 = (chunk_idx - tile_chunk_start[chunk_tile_raw]) * chunk
+    chunk_tile = jnp.where(chunk_in_range, chunk_tile_raw, num_tiles)
+
+    # packed gaussian ids: one direct 4-byte scatter (padding slots keep the
+    # sentinel P and gather the zero attr row)
+    gid = (
+        jnp.full((padded_cap,), P, jnp.int32)
+        .at[dest]
+        .set(g_s, mode="drop")
+    )
+    attrs = packed_gather(
+        gaussian_attr_table(proc), gid, slot2packed, offsets, counts, pair_cap
+    )
 
     overflow = (total > pair_cap) | (total_padded > padded_cap)
     return TileBins(

@@ -88,8 +88,10 @@ def blend_chunk(
     a = jnp.where(valid, alpha, 0.0)                     # (K, N)
     t_before = carry.T[None, :] * exclusive_cumprod(1.0 - a, axis=0)
     t_after = t_before * (1.0 - a)
-    trigger = valid & (t_after < T_MIN)
-    done_after = carry.done[None, :] | (jnp.cumsum(trigger, axis=0) > 0)
+    # t_after is monotone non-increasing and a live pixel enters the chunk
+    # with T >= T_MIN (the triggering Gaussian is never committed), so the
+    # sticky "some pair at or before i triggered" is just t_after_i < T_MIN
+    done_after = carry.done[None, :] | (t_after < T_MIN)
     commit = valid & ~done_after
     w = jnp.where(commit, a * t_before, 0.0)             # (K, N)
 

@@ -112,17 +112,19 @@ def _chunk_core(a, px, py, t_pix, done_pix):
     excl = _shift_down(incl, 1, 1.0)
     t_before = t_pix * excl
     t_after = t_pix * incl
-    trigger = jnp.where(valid & (t_after < T_MIN), 1.0, 0.0)
-    trig_cum = _inclusive_scan(trigger, jnp.maximum, 0.0)
-    done_after = done_pix | (trig_cum > 0.5)
+    # t_after is monotone non-increasing along the chunk and the incoming
+    # t_pix of a live pixel is >= T_MIN (the trigger pair itself is never
+    # committed), so "some pair at or before i triggered" == "t_after_i
+    # dropped below T_MIN" — no max-scan needed
+    done_after = done_pix | (t_after < T_MIN)
     commit = valid & ~done_after
     w = jnp.where(commit, a_eff * t_before, 0.0)
-    # committed-only product of (1-a) via the scan's last row (Mosaic has no
-    # reduce_prod lowering)
-    commit_prod = _inclusive_scan(
-        jnp.where(commit, one_m, 1.0), jnp.multiply, 1.0
+    # committed-only product of (1-a): the committed set is a prefix of the
+    # chunk and incl is monotone non-increasing, so the product equals the
+    # minimum of incl over committed rows (saves a third scan)
+    t_new = t_pix * jnp.min(
+        jnp.where(commit, incl, 1.0), axis=0, keepdims=True
     )
-    t_new = t_pix * commit_prod[-1:, :]
     return dict(
         dx=dx, dy=dy, ca=ca, cb=cb, cc=cc, G=G, alpha_raw=alpha_raw,
         a_eff=a_eff, t_before=t_before, commit=commit, w=w, t_new=t_new,
@@ -158,33 +160,45 @@ def _fwd_kernel(ct_ref, ck_ref, attrs_ref, out_ref, *, grid_x, tile_size, chunk)
         )
 
     st = out_ref[0]                                        # (8, npix)
-    px, py = _pixel_coords(t, grid_x, tile_size, npix)
-    a = attrs_ref[:, :]                                    # (chunk, 16)
-    c = _chunk_core(a, px, py, st[S_T : S_T + 1, :], st[S_DONE : S_DONE + 1, :] > 0.5)
-    w = c["w"]
 
-    acc_row = lambda s, col: st[s : s + 1, :] + jnp.sum(
-        w * a[:, col : col + 1], axis=0, keepdims=True
-    )
-    r_new = acc_row(S_R, A_R)
-    g_new = acc_row(S_G, A_G)
-    b_new = acc_row(S_B, A_B)
-    d_new = acc_row(S_D, A_DEPTH)
-    acc_new = st[S_ACC : S_ACC + 1, :] + jnp.sum(w, axis=0, keepdims=True)
+    # whole-tile early exit: once every pixel has latched done, the
+    # remaining chunks of the tile are exact no-ops (the VMEM-resident
+    # state block just stays put) — the per-tile analogue of the
+    # reference's per-thread early return (forward.cu:334-337)
+    @pl.when(jnp.min(st[S_DONE : S_DONE + 1, :]) < 0.5)
+    def _():
+        px, py = _pixel_coords(t, grid_x, tile_size, npix)
+        a = attrs_ref[:, :]                                # (chunk, 16)
+        c = _chunk_core(
+            a, px, py, st[S_T : S_T + 1, :], st[S_DONE : S_DONE + 1, :] > 0.5
+        )
+        w = c["w"]
 
-    idx = (
-        k0
-        + jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
-        + 1
-    ).astype(jnp.float32)
-    contrib = jnp.max(jnp.where(c["commit"], idx, 0.0), axis=0, keepdims=True)
-    nc_new = jnp.maximum(st[S_NC : S_NC + 1, :], contrib)
-    done_new = jnp.where(c["done_after"][chunk - 1 : chunk, :], 1.0, 0.0)
+        acc_row = lambda s, col: st[s : s + 1, :] + jnp.sum(
+            w * a[:, col : col + 1], axis=0, keepdims=True
+        )
+        r_new = acc_row(S_R, A_R)
+        g_new = acc_row(S_G, A_G)
+        b_new = acc_row(S_B, A_B)
+        d_new = acc_row(S_D, A_DEPTH)
+        acc_new = st[S_ACC : S_ACC + 1, :] + jnp.sum(w, axis=0, keepdims=True)
 
-    out_ref[0] = jnp.concatenate(
-        [c["t_new"], r_new, g_new, b_new, d_new, acc_new, done_new, nc_new],
-        axis=0,
-    )
+        idx = (
+            k0
+            + jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
+            + 1
+        ).astype(jnp.float32)
+        contrib = jnp.max(
+            jnp.where(c["commit"], idx, 0.0), axis=0, keepdims=True
+        )
+        nc_new = jnp.maximum(st[S_NC : S_NC + 1, :], contrib)
+        done_new = jnp.where(c["done_after"][chunk - 1 : chunk, :], 1.0, 0.0)
+
+        out_ref[0] = jnp.concatenate(
+            [c["t_new"], r_new, g_new, b_new, d_new, acc_new, done_new,
+             nc_new],
+            axis=0,
+        )
 
 
 def _bwd_kernel(
@@ -206,6 +220,29 @@ def _bwd_kernel(
             ],
             axis=0,
         )
+
+    # whole-tile early exit (mirrors the forward): once the running done row
+    # is all-latched, every remaining pair of the tile is uncommitted and
+    # its gradient is exactly zero
+    all_done = jnp.min(scr_ref[2:3, :]) > 0.5
+
+    @pl.when(all_done)
+    def _():
+        dattr_ref[:, :] = jnp.zeros((chunk, ATTR_DIM), jnp.float32)
+
+    @pl.when(jnp.logical_not(all_done))
+    def _():
+        _bwd_chunk_body(
+            t, attrs_ref, state_ref, dout_ref, dattr_ref,
+            scr_ref, grid_x=grid_x, tile_size=tile_size, chunk=chunk,
+        )
+
+
+def _bwd_chunk_body(
+    t, attrs_ref, state_ref, dout_ref, dattr_ref, scr_ref,
+    *, grid_x, tile_size, chunk,
+):
+    npix = tile_size * tile_size
 
     saved = state_ref[0]
     d = dout_ref[0]

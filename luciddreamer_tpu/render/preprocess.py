@@ -69,23 +69,50 @@ def preprocess_gaussians(
     )
     conic, det = covariance.invert_cov2d(cov2d)
     det_ok = det != 0.0
-    radius_f = covariance.cov2d_extent_radius(cov2d, det)
+    sigma_max = covariance.cov2d_max_sigma(cov2d, det)
+    radius_f = jnp.ceil(3.0 * sigma_max)            # reported radius: 3-sigma
+    #                                                 parity (forward.cu:232)
 
-    # --- tile rect (auxiliary.h:46-56) ---
+    # --- tile rect (auxiliary.h:46-56), opacity-tightened ---
+    # The blend skips every pair with alpha = op * exp(power) < 1/255
+    # (forward.cu:348-349), and power <= -d^2 / (2 * lambda_max), so pixels
+    # beyond r_eff = sigma_max * sqrt(2 ln(255 op)) are EXACT no-ops (zero
+    # contribution and zero gradient in the reference too).  Tiles are
+    # therefore binned with min(3, sqrt(2 ln(255 op))) sigma — identical
+    # output, substantially fewer (gaussian, tile) pairs for low opacity
+    # (e.g. op=0.01 after an opacity reset covers ~5% of the 3-sigma area).
+    # The floor keeps r_eff >= 1 px so radii/visibility stay reference-equal.
+    r_eff = jnp.ceil(
+        sigma_max
+        * jnp.minimum(
+            3.0, jnp.sqrt(2.0 * jnp.maximum(jnp.log(255.0 * opacity), 5e-3))
+        )
+    )
     grid_x = (camera.width + tile_size - 1) // tile_size
     grid_y = (camera.height + tile_size - 1) // tile_size
     px, py = mean2d[..., 0], mean2d[..., 1]
-    rect_min_x = jnp.clip(((px - radius_f) / tile_size).astype(jnp.int32), 0, grid_x)
-    rect_min_y = jnp.clip(((py - radius_f) / tile_size).astype(jnp.int32), 0, grid_y)
-    rect_max_x = jnp.clip(
-        ((px + radius_f + tile_size - 1) / tile_size).astype(jnp.int32), 0, grid_x
-    )
-    rect_max_y = jnp.clip(
-        ((py + radius_f + tile_size - 1) / tile_size).astype(jnp.int32), 0, grid_y
-    )
-    tiles = (rect_max_x - rect_min_x) * (rect_max_y - rect_min_y)
 
-    visible = in_front & det_ok & (tiles > 0) & params.alive
+    def rect(r):
+        min_x = jnp.clip(((px - r) / tile_size).astype(jnp.int32), 0, grid_x)
+        min_y = jnp.clip(((py - r) / tile_size).astype(jnp.int32), 0, grid_y)
+        max_x = jnp.clip(
+            ((px + r + tile_size - 1) / tile_size).astype(jnp.int32), 0, grid_x
+        )
+        max_y = jnp.clip(
+            ((py + r + tile_size - 1) / tile_size).astype(jnp.int32), 0, grid_y
+        )
+        return min_x, min_y, max_x, max_y
+
+    rect_min_x, rect_min_y, rect_max_x, rect_max_y = rect(r_eff)
+    tiles = (rect_max_x - rect_min_x) * (rect_max_y - rect_min_y)
+    # visibility & reported radius come from the reference's 3-sigma rect
+    # (forward.cu:229-236) so radii / visibility_filter / densification
+    # bookkeeping match it exactly even when the tightened rect clips empty
+    # at the viewport border
+    r3 = rect(radius_f)
+    tiles_ref = (r3[2] - r3[0]) * (r3[3] - r3[1])
+
+    visible = in_front & det_ok & (tiles_ref > 0) & params.alive
     tiles = jnp.where(visible, tiles, 0)
     radius = jnp.where(visible, radius_f, 0.0).astype(jnp.int32)
 
