@@ -48,13 +48,21 @@ def main():
                            pair_cap=pair_cap, backend=backend)
         return jnp.mean(jnp.abs(out["render"] - 0.5)) + 0.1 * jnp.mean(out["depth"])
 
-    g = jax.jit(jax.grad(loss))
+    # reduce the grad pytree to one scalar inside jit and pull it to host
+    # each rep: on the axon TPU tunnel, block_until_ready alone has been
+    # observed NOT to actually wait, so a device->host transfer is the only
+    # trustworthy fence
+    def gsum(pdict):
+        gr = jax.grad(loss)(pdict)
+        return sum(jnp.sum(v) for v in jax.tree.leaves(gr))
+
+    g = jax.jit(gsum)
     pdict = params.param_pytree()
-    jax.block_until_ready(g(pdict))          # compile
+    float(g(pdict))                          # compile + warm
     reps = 5
     t0 = time.time()
     for _ in range(reps):
-        jax.block_until_ready(g(pdict))
+        float(g(pdict))
     dt = (time.time() - t0) / reps
     rays_per_s = H * W / dt
     print(json.dumps({

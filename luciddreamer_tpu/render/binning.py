@@ -12,24 +12,28 @@ sort pipeline (rasterizer_impl.cu:68-138,276-319).  Differences, by design:
   no tail masking; every tile owns >= 1 chunk (empty tiles emit background);
 * ordering parity: within a tile, pairs are ordered by (depth, gaussian
   index) — identical to the reference's stable radix sort over
-  ``tileID<<32 | float_bits(depth)`` keys for positive depths.  The depth is
-  reduced to an int32 *rank* (one stable P-element argsort) so the pair sort
-  runs on two unique int keys and needs no stability flag.
+  ``tileID<<32 | float_bits(depth)`` keys for positive depths.  The depth
+  key is the raw IEEE-754 bit pattern viewed as int32 (bit order == value
+  order for positive floats — the exact trick the reference keys rely on,
+  rasterizer_impl.cu:102-104), and the gaussian index is a third sort key,
+  so equal-depth ties break exactly like the reference's stable radix sort.
 
 Memory-movement design (profiled on TPU v5e at 1M gaussians / 3.5M pairs):
-XLA scatters are the enemy — a (4M, 16) f32 scatter-add costs ~420 ms while
-the equivalent gather costs ~25 ms and a 4M cumsum ~0.5 ms.  So:
+XLA *random scatters* are the enemy — a 4M-element int32 scatter costs
+~48 ms while the same data moved by gather or sort costs ~10 ms.  So:
 
 1. per-gaussian attributes live in ONE (P+1, 16) table (row P is an all-zero
    sentinel with valid=0) — sequential writes;
-2. pair expansion uses the scatter+cumsum trick (the only unavoidable
-   scatters: 1M one-int marks and the 4M slot->packed permutation index);
-3. ONE unstable 2-int-key (tile, depth_rank) lax.sort carrying (gid, slot);
+2. pair expansion uses the scatter+cumsum trick (the only pair-scale scatter
+   left: 1M one-int marks into the slot axis);
+3. ONE unstable 3-int-key (tile, depth_bits, gaussian) lax.sort carrying
+   slot and gaussian id;
 4. per-tile ranges come from searchsorted over the sorted tile keys (a
    scatter-add histogram costs ~36 ms; binary search is free);
-5. the packed->sorted index map is CLOSED FORM (no inverse-permutation
-   scatter): packed position p sits in tile t = chunk_tile[p/chunk] at rank
-   p - padded_start[t];
+5. the slot -> packed map needed by the backward is recovered with a second
+   (permutation-key, dest) sort (~16 ms cheaper than the random scatter at
+   4M pairs); the packed gaussian ids keep a direct monotone scatter —
+   a closed-form gather formulation measured slower;
 6. packed attrs are a contiguous row GATHER from the table, wrapped in a
    custom VJP whose backward is gather + cumsum-difference segment sums —
    the deterministic replacement for the reference backward's atomicAdd
@@ -152,14 +156,12 @@ def build_tile_bins(
     total = cum[-1]
     offsets = cum - counts                                   # exclusive
 
-    # depth -> int32 rank; stable argsort breaks ties by gaussian index, so
-    # ordering by (tile, rank) == the reference's stable (tile, depth) radix
-    # order (positive-float bit order == value order)
-    order = jnp.argsort(proc.depth, stable=True)
-    rank = (
-        jnp.zeros((P,), jnp.int32)
-        .at[order]
-        .set(jnp.arange(P, dtype=jnp.int32))
+    # depth sort key: the raw float32 bit pattern as int32 — monotone in the
+    # value for positive floats (depth > near-plane guarantees positive),
+    # the same property the reference's radix keys exploit
+    # (rasterizer_impl.cu:102-104).  No argsort / rank pass needed.
+    depth_bits = jax.lax.bitcast_convert_type(
+        jax.lax.stop_gradient(proc.depth), jnp.int32
     )
 
     # slot -> gaussian id (scatter one marker per gaussian, cumsum recovers
@@ -170,11 +172,11 @@ def build_tile_bins(
     slot_valid = slot < total
 
     # per-slot gaussian info through ONE packed (P, 4) row gather:
-    # [pair offset, depth rank, rect_min_x | rect_min_y << 16, rect width]
+    # [pair offset, depth bits, rect_min_x | rect_min_y << 16, rect width]
     gtab = jnp.stack(
         [
             offsets,
-            rank,
+            depth_bits,
             proc.rect_min[:, 0] | (proc.rect_min[:, 1] << 16),
             jnp.maximum(proc.rect_max[:, 0] - proc.rect_min[:, 0], 1),
         ],
@@ -187,9 +189,11 @@ def build_tile_bins(
     ty = (row[:, 2] >> 16) + local // rw
     tile = jnp.where(slot_valid, ty * grid_x + tx, num_tiles)
 
-    # ONE unstable 2-int-key sort; (tile, rank) is unique per pair
+    # ONE unstable 3-int-key sort; the gaussian-index key makes the order a
+    # total one, so equal depths tie-break exactly like the reference's
+    # stable radix sort (pair emission order == gaussian index order)
     tile_s, _, g_s, slot_s = jax.lax.sort(
-        (tile, row[:, 1], g, slot), num_keys=2, is_stable=False
+        (tile, row[:, 1], g, slot), num_keys=3, is_stable=False
     )
 
     # per-tile [start, count) from binary search over the sorted tile keys
@@ -208,7 +212,10 @@ def build_tile_bins(
     padded_start = padded_cumsum - padded_counts
     total_padded = padded_cumsum[-1]
 
-    # sorted position j -> packed destination (closed form, no histogram)
+    # sorted position j -> packed destination (closed form, no histogram).
+    # dest is strictly increasing over valid pairs (tile_s is sorted and
+    # within a tile dest steps by 1), which is what makes the two inverse
+    # maps below expressible without random scatters.
     pair_valid_s = tile_s < num_tiles
     tile_cl = jnp.minimum(tile_s, num_tiles - 1)
     j = jnp.arange(pair_cap, dtype=jnp.int32)
@@ -216,13 +223,11 @@ def build_tile_bins(
         pair_valid_s, padded_start[tile_cl] + (j - tile_start[tile_cl]),
         padded_cap,
     )
-    # original slot -> packed destination (for the backward's re-gather);
-    # the single unavoidable pair-scale scatter, 4 bytes per pair
-    slot2packed = (
-        jnp.full((pair_cap,), padded_cap, jnp.int32)
-        .at[slot_s]
-        .set(dest, mode="drop")
-    )
+    # original slot -> packed destination (for the backward's re-gather):
+    # slot_s is a permutation of [0, pair_cap), so sorting (slot_s, dest)
+    # by the first operand yields slot2packed directly — a sort (~10 ms at
+    # 4M) instead of a random int32 scatter (~48 ms)
+    _, slot2packed = jax.lax.sort((slot_s, dest), num_keys=1, is_stable=False)
 
     # chunk -> (tile, k0): scatter+cumsum over the (small) chunk axis
     tile_chunk_start = padded_start // chunk
@@ -239,7 +244,10 @@ def build_tile_bins(
     chunk_tile = jnp.where(chunk_in_range, chunk_tile_raw, num_tiles)
 
     # packed gaussian ids: one direct 4-byte scatter (padding slots keep the
-    # sentinel P and gather the zero attr row)
+    # sentinel P and gather the zero attr row).  A closed-form gather
+    # formulation (gid[p] = g_s[tile_start[t] + p - padded_start[t]]) was
+    # measured 110 ms SLOWER at 4M pairs — the three chained index gathers
+    # cost more than one monotone scatter.
     gid = (
         jnp.full((padded_cap,), P, jnp.int32)
         .at[dest]

@@ -136,15 +136,39 @@ def llff(degree: float = 5.0, n_views: int = 400, rounds: int = 4,
     s = np.linspace(0, 2 * np.pi * rounds, n_views)
     th = degree * np.sin(s)
     phi = degree * np.cos(s)
-    z = d / 15 * np.sin(np.linspace(0, 2 * np.pi * (rounds // 4), n_views))
+    # NB: the reference's z sweep ends at (2*pi*rounds)//4 — floor division
+    # binds AFTER the multiply (utils/trajectory.py:435), i.e. 6.0 for
+    # rounds=4, not 2*pi — reproduced faithfully for artifact parity
+    z = d / 15 * np.sin(np.linspace(0, (2 * np.pi * rounds) // 4, n_views))
     t = _orbit_translation(th, phi, d)
     t[:, 2] -= 2 * z          # the -z appears in both orbit terms (:445)
     return _poses(_yaw(th) @ _pitch(phi), t)
 
 
+def lookaround_tour(degsum: float = 60.0, pitchmax: float = 22.5) -> np.ndarray:
+    """generate_seed_lookaround (:325-391): a 406-pose raster-scan tour —
+    top row left->right, down the right edge, middle row right->left, down
+    the left edge, bottom row left->right.  Rotation-only poses.  This is
+    the generator behind the shipped cameras/lookaround.json (406 frames),
+    distinct from the 21-pose ``lookaround`` dreaming preset."""
+    n = int(2 * degsum) + 1
+    legs = [
+        (np.linspace(-degsum, degsum, n), np.full(n, pitchmax)),
+        (np.full(22, degsum), np.linspace(pitchmax, 0, 23)[1:]),
+        (np.linspace(degsum, -degsum, n)[1:], np.zeros(n - 1)),
+        (np.full(22, -degsum), np.linspace(0, -pitchmax, 23)[1:]),
+        (np.linspace(-degsum, degsum, n), np.full(n, -pitchmax)),
+    ]
+    th = np.concatenate([leg[0] for leg in legs])
+    phi = np.concatenate([leg[1] for leg in legs])
+    return _poses(_yaw(th) @ _pitch(phi))
+
+
 def headbanging(maxdeg: float = 15.0, n_views_per_round: int = 180,
                 rounds: int = 2, fullround: int = 0) -> np.ndarray:
-    """generate_seed_headbanging (:449-463): spiral-in-spiral look-around."""
+    """generate_seed_headbanging (:449-463): spiral-in-spiral look-around.
+    generate_seed_headbanging_circle (:466-479) is numerically the same
+    function — the shipped headbanging_circle.json is this with maxdeg=5."""
     total = rounds + fullround + rounds
     radius = np.concatenate([
         np.linspace(0, maxdeg, n_views_per_round * rounds),

@@ -201,12 +201,37 @@ def test_export_camera_json_roundtrip(tmp_path):
 
     path = export_camera_json("rotate360", os.path.join(tmp_path, "r.json"))
     cams = load_camera_json(path, H=32, W=32)
-    assert len(cams) == 10
+    assert len(cams) == 720
     paths = export_all(os.path.join(tmp_path, "all"))
-    assert len(paths) == 9
+    assert len(paths) == 22
     llff = load_camera_json(os.path.join(tmp_path, "all", "llff.json"),
                             H=16, W=16)
     assert len(llff) == 400
+
+
+def test_exported_presets_match_reference_artifacts(tmp_path):
+    """Every one of the 22 shipped cameras/*.json presets is regenerated
+    bit-parity-close (fov + all pose matrices) by our trajectory sweep."""
+    import glob
+    import json
+
+    from luciddreamer_tpu.trajectory.export import export_all
+
+    refs = sorted(glob.glob("/root/reference/cameras/*.json"))
+    if not refs:
+        pytest.skip("reference cameras not mounted")
+    export_all(str(tmp_path))
+    for ref in refs:
+        name = os.path.basename(ref)
+        with open(ref) as f:
+            a = json.load(f)
+        with open(tmp_path / name) as f:
+            b = json.load(f)
+        assert abs(a["camera_angle_x"] - b["camera_angle_x"]) < 1e-6, name
+        fa = np.asarray([fr["transform_matrix"] for fr in a["frames"]])
+        fb = np.asarray([fr["transform_matrix"] for fr in b["frames"]])
+        assert fa.shape == fb.shape, name
+        np.testing.assert_allclose(fa, fb, atol=1e-9, err_msg=name)
 
 
 def test_reference_camera_presets_load():
