@@ -96,9 +96,13 @@ class LucidDreamerTPU:
             pair_cap=min(8 * capacity, 6_000_000),
             seed=self.seed,
         )
+        # pass the dream stage's warped depths through when the depth loss is
+        # on (north-star config 3: L1 + D-SSIM + depth); None entries are
+        # fine — the Trainer skips the term per-view
+        use_depth = self.opt.lambda_depth > 0.0 or self.opt.use_depth
         views = []
         for v in self.scene.get_train_views():
-            views.append((v.camera, v.image))
+            views.append((v.camera, v.image, v.depth if use_depth else None))
         cb = None
         if progress_callback:
             cb = lambda it, st, l: progress_callback("bake", it, self.opt.iterations)

@@ -36,6 +36,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--save_dir", "-s", type=str, default="")
     p.add_argument("--iterations", type=int, default=None,
                    help="Override 3DGS optimization iterations")
+    p.add_argument("--lambda_depth", type=float, default=0.0,
+                   help="Weight of the masked depth L1 term (0 = off). The "
+                        "reference declares use_depth but never reads it "
+                        "(arguments.py:17); here it is a real loss")
     return p
 
 
@@ -67,6 +71,9 @@ def main(argv=None):
     if args.iterations is not None:
         gs_cfg.iterations = args.iterations
         gs_cfg.position_lr_max_steps = args.iterations
+    if args.lambda_depth > 0.0:
+        gs_cfg.lambda_depth = args.lambda_depth
+        gs_cfg.use_depth = True
 
     ld = LucidDreamerTPU(
         gs_config=gs_cfg,

@@ -179,15 +179,25 @@ def _border_compensation(points, pix, z, valid, border_sel, depth, mask2, sc,
     corr_cam_z = (R @ corr_world + Tc)[2]
     comp_depth = comp_cam_z - corr_cam_z                       # (N,)
 
-    # anchors: border correspondences (+4 zero corners appended by caller)
-    anchor_xy = jnp.where(bsel[None, :], pix, 1e6).T           # (N, 2)
-    anchor_val = jnp.where(bsel, comp_depth, 0.0)
+    # anchors: border correspondences (+4 zero corners appended below).
+    # Valid border anchors are scattered through the N-point cloud, so
+    # COMPACT them to the front before the static ANCHOR_CAP truncation
+    # (top_k over the 0/1 mask is stable: it keeps valid anchors in index
+    # order).  A plain [:ANCHOR_CAP] slice would silently drop most anchors
+    # as soon as the cloud exceeds the cap (reference semantics keep ALL
+    # border anchors, luciddreamer.py:442-490).
+    n = bsel.shape[0]
+    k = min(ANCHOR_CAP, n)
+    _, sel_idx = jax.lax.top_k(bsel.astype(jnp.int32), k)
+    sel_valid = bsel[sel_idx]                                  # (k,)
+    anchor_xy = jnp.where(sel_valid[:, None], pix.T[sel_idx], 1e6)  # (k, 2)
+    anchor_val = jnp.where(sel_valid, comp_depth[sel_idx], 0.0)
 
     corners_xy = jnp.array(
         [[0.0, 0.0], [0.0, H - 1.0], [W - 1.0, 0.0], [W - 1.0, H - 1.0]]
     )
-    anchor_xy = jnp.concatenate([anchor_xy[:ANCHOR_CAP], corners_xy], 0)
-    anchor_val = jnp.concatenate([anchor_val[:ANCHOR_CAP], jnp.zeros(4)], 0)
+    anchor_xy = jnp.concatenate([anchor_xy, corners_xy], 0)
+    anchor_val = jnp.concatenate([anchor_val, jnp.zeros(4)], 0)
 
     # offsets at every pixel (only hole pixels are kept)
     xg, yg = jnp.meshgrid(jnp.arange(W, dtype=jnp.float32),

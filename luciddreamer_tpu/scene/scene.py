@@ -29,10 +29,17 @@ from luciddreamer_tpu.trajectory import get_camera_paths
 
 @dataclass
 class TrainView:
-    """A training camera plus its ground-truth image (3, H, W) float32."""
+    """A training camera plus its ground-truth image (3, H, W) float32.
+
+    ``depth`` is the warped metric depth (H, W) stored by the dream stage
+    (DreamConfig.store_frame_depth) — None when the traindata has no depth.
+    The reference declares but never wires a depth loss (arguments.py:17);
+    here the depth rides along so train.loop can consume it for real.
+    """
 
     camera: Camera
     image: np.ndarray
+    depth: np.ndarray | None = None
 
 
 def _frame_to_camera(transform_matrix, fovx, fovy, W, H) -> Camera:
@@ -72,8 +79,14 @@ class Scene:
         self.train_views: list[TrainView] = []
         for fr in frames:
             cam = _frame_to_camera(fr["transform_matrix"], fovx, fovy, W, H)
+            depth = fr.get("depth") if isinstance(fr, dict) else None
             self.train_views.append(
-                TrainView(camera=cam, image=_to_image_array(fr["image"]))
+                TrainView(
+                    camera=cam,
+                    image=_to_image_array(fr["image"]),
+                    depth=None if depth is None
+                    else np.asarray(depth, np.float32),
+                )
             )
 
         centers = np.stack(

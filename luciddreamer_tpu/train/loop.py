@@ -147,14 +147,27 @@ class Trainer:
         # the reference skips the optimizer step on the final iteration
         # (luciddreamer.py:325); harmless either way — we always step.
         stats = add_densification_stats(state.stats, g2d, aux["radii"])
-        params = GaussianParams.from_param_pytree(
-            new_pdict, state.params.alive
+
+        # NEVER commit an update computed from a truncated pair list: an
+        # overflowed render dropped pairs, so its gradient is wrong.  The
+        # reference never drops pairs (device-side buffer resize,
+        # rasterize_points.cu:27-33); here the whole update is gated on the
+        # overflow flag and the host loop re-runs the lost iteration after
+        # growing pair_cap.  step is not advanced either, keeping the lr
+        # schedule aligned with the number of real updates.
+        ovf = aux["overflow"]
+        gate = lambda new, old: jax.tree.map(
+            lambda a, b: jnp.where(ovf, b, a), new, old
         )
-        return (
-            TrainState(params=params, adam=adam, stats=stats, step=it),
-            loss,
-            aux["overflow"],
+        new_state = TrainState(
+            params=GaussianParams.from_param_pytree(
+                gate(new_pdict, pdict), state.params.alive
+            ),
+            adam=gate(adam, state.adam),
+            stats=gate(stats, state.stats),
+            step=jnp.where(ovf, state.step, it),
         )
+        return new_state, loss, ovf
 
     def _densify(self, state: TrainState, key, max_screen_size):
         params, adam, stats, ovf = densify_and_prune(
@@ -173,22 +186,73 @@ class Trainer:
 
     # ---- host loop ----
 
-    def run(self, views, iterations: int | None = None, callback=None):
-        """views: list of (Camera, gt_image) or objects with .camera/.image."""
+    def _grow_pair_cap(self):
+        if self.pair_cap is None:
+            from luciddreamer_tpu.render.tiled import default_pair_capacity
+
+            self.pair_cap = default_pair_capacity(self.state.params.capacity)
+        self.pair_cap *= 2
+        self._step_fn = jax.jit(self._step, donate_argnums=(0,))
+        self.last_overflow = True
+        self._cap_gen += 1
+
+    def run(self, views, iterations: int | None = None, callback=None,
+            log_every: int = 0, timer=None):
+        """views: list of (Camera, gt_image[, gt_depth]) or objects with
+        .camera/.image[/.depth].
+
+        ``log_every`` > 0 prints periodic loss / PSNR-proxy / alive-count
+        lines (SURVEY §5.5 — the reference only shows tqdm bars).  ``timer``
+        is an optional utils.profiling.PhaseTimer.
+
+        Host-sync discipline: the overflow flag of step k is pulled while
+        step k+1 runs (one-step lag), so dispatch is never serialized on a
+        per-iteration device round-trip.  Overflowed steps are device-side
+        no-ops (see _step), so a late detection costs only the lost
+        iterations, which are re-run after the pair budget doubles.
+        """
         cfg = self.cfg
         iterations = iterations or cfg.iterations
         norm = []
         for v in views:
             if hasattr(v, "camera"):
-                norm.append((v.camera, jnp.asarray(v.image), None))
+                depth = getattr(v, "depth", None)
+                norm.append((
+                    v.camera, jnp.asarray(v.image),
+                    None if depth is None else jnp.asarray(depth),
+                ))
             else:
                 cam, img = v[0], jnp.asarray(v[1])
                 depth = jnp.asarray(v[2]) if len(v) > 2 and v[2] is not None else None
                 norm.append((cam, img, depth))
 
-        for it in range(1, iterations + 1):
+        self._cap_gen = 0
+        pending = None                # (ovf device array, cap_gen at launch)
+        it = 0
+        launched = 0                  # steps assumed committed (optimistic)
+        while launched < iterations:
+            it += 1
+            launched += 1
             cam, img, depth = norm[self.py_rng.integers(len(norm))]
+            ctx = timer.phase("train_step") if timer is not None else None
+            if ctx is not None:
+                ctx.__enter__()
             self.state, loss, ovf = self._step_fn(self.state, cam, img, depth)
+            if ctx is not None:
+                ctx.__exit__(None, None, None)
+
+            # resolve the PREVIOUS step's overflow flag (one-step lag); an
+            # overflowed step was a device-side no-op, so un-count it.  Only
+            # the first flag per capacity generation triggers a growth —
+            # in-flight steps launched before the retrace flag the old
+            # capacity again and must not double twice.
+            if pending is not None:
+                p_ovf, p_gen = pending
+                if bool(p_ovf):
+                    launched -= 1
+                    if p_gen == self._cap_gen:
+                        self._grow_pair_cap()
+            pending = (ovf, self._cap_gen)
 
             if self.cfg.debug and not bool(jnp.isfinite(loss)):
                 # snapshot-on-failure (the reference dumps snapshot_fw/bw on
@@ -202,23 +266,13 @@ class Trainer:
                 )
                 raise FloatingPointError(f"non-finite loss at iteration {it}")
 
-            # pair-capacity growth: an overflowed render drops pairs, so
-            # double the budget and retrace for subsequent steps (the
-            # reference resizes device buffers mid-step,
-            # rasterize_points.cu:27-33; we accept one truncated step and
-            # pay a recompile instead — the donated state can't be redone)
-            if bool(ovf):
-                if self.pair_cap is None:
-                    from luciddreamer_tpu.render.tiled import (
-                        default_pair_capacity,
-                    )
-
-                    self.pair_cap = default_pair_capacity(
-                        self.state.params.capacity
-                    )
-                self.pair_cap *= 2
-                self._step_fn = jax.jit(self._step, donate_argnums=(0,))
-                self.last_overflow = True
+            if log_every and it % log_every == 0:
+                alive = int(jnp.sum(self.state.params.alive))
+                print(
+                    f"[bake] it {it:5d}  loss {float(loss):.4f}  "
+                    f"gaussians {alive}  pair_cap {self.pair_cap}",
+                    flush=True,
+                )
 
             if it < cfg.densify_until_iter:
                 if (
@@ -241,4 +295,18 @@ class Trainer:
 
             if callback is not None:
                 callback(it, self.state, float(loss))
+
+        # flush the trailing overflow flag: if the final step overflowed it
+        # was a no-op, so grow and re-run until a clean update lands
+        while pending is not None:
+            p_ovf, p_gen = pending
+            pending = None
+            if bool(p_ovf):
+                if p_gen == self._cap_gen:
+                    self._grow_pair_cap()
+                cam, img, depth = norm[self.py_rng.integers(len(norm))]
+                self.state, loss, ovf = self._step_fn(
+                    self.state, cam, img, depth
+                )
+                pending = (ovf, self._cap_gen)
         return self.state
