@@ -1,43 +1,44 @@
-"""Tile binning: (gaussian, tile) pair expansion, depth sort, chunk-aligned
-packing.
+"""Tile binning: (gaussian, tile) pair expansion, fused-key depth sort,
+segment metadata for the blend walk.
 
 The XLA-native replacement for the reference's CUB prefix-sum + 64-bit radix
-sort pipeline (rasterizer_impl.cu:68-138,276-319).  Differences, by design:
+sort pipeline (rasterizer_impl.cu:68-138,276-319).  Redesigned (round 3)
+around a TPU cost model measured on v5e at 4M pairs (tools/profile_binning4):
 
-* static capacity ``pair_cap`` instead of device-side buffer resizing — the
-  pair count is data dependent (rasterizer_impl.cu:281-282), so we allocate a
-  fixed budget and report overflow for host-side re-tracing;
-* pair ranges are padded to multiples of ``chunk`` and packed contiguously so
-  the blend kernels stream aligned (chunk, 16)-float32 slabs with one DMA and
-  no tail masking; every tile owns >= 1 chunk (empty tiles emit background);
-* ordering parity: within a tile, pairs are ordered by (depth, gaussian
-  index) — identical to the reference's stable radix sort over
-  ``tileID<<32 | float_bits(depth)`` keys for positive depths.  The depth
-  key is the raw IEEE-754 bit pattern viewed as int32 (bit order == value
-  order for positive floats — the exact trick the reference keys rely on,
-  rasterizer_impl.cu:102-104), and the gaussian index is a third sort key,
-  so equal-depth ties break exactly like the reference's stable radix sort.
+    lax.sort             ~2.4 ms per carried operand
+    cumsum               <1 ms even at (4M, 16)
+    elementwise          ~free
+    random row gather    ~20 ms REGARDLESS of row width (per-lookup bound)
+    scatter              ~19 ms (int32) .. ~100 ms (rows)
 
-Memory-movement design (profiled on TPU v5e at 1M gaussians / 3.5M pairs):
-XLA *random scatters* are the enemy — a 4M-element int32 scatter costs
-~48 ms while the same data moved by gather or sort costs ~10 ms.  So:
+so the design keeps exactly TWO pair-scale gathers (the expansion row
+gather and the final attribute gather), moves everything else through
+sorts/cumsums, and drops the round-2 chunk-padded packing entirely:
 
 1. per-gaussian attributes live in ONE (P+1, 16) table (row P is an all-zero
-   sentinel with valid=0) — sequential writes;
-2. pair expansion uses the scatter+cumsum trick (the only pair-scale scatter
-   left: 1M one-int marks into the slot axis);
-3. ONE unstable 3-int-key (tile, depth_bits, gaussian) lax.sort carrying
-   slot and gaussian id;
-4. per-tile ranges come from searchsorted over the sorted tile keys (a
-   scatter-add histogram costs ~36 ms; binary search is free);
-5. the slot -> packed map needed by the backward is recovered with a second
-   (permutation-key, dest) sort (~16 ms cheaper than the random scatter at
-   4M pairs); the packed gaussian ids keep a direct monotone scatter —
-   a closed-form gather formulation measured slower;
-6. packed attrs are a contiguous row GATHER from the table, wrapped in a
-   custom VJP whose backward is gather + cumsum-difference segment sums —
-   the deterministic replacement for the reference backward's atomicAdd
-   (backward.cu:537,574-583) that never touches an XLA scatter-add.
+   sentinel with valid=0);
+2. a P-scale double sort assigns every gaussian a *depth rank* (order by
+   (depth_bits, index) — depth keys are raw IEEE-754 bits viewed as int,
+   bit order == value order for positive floats, the exact trick the
+   reference radix keys rely on, rasterizer_impl.cu:102-104; the index
+   tie-break reproduces its stable radix order);
+3. pair expansion: one P-scale mark scatter + cumsum recovers each slot's
+   owner, one pair-scale row gather fetches (offset, rank, rect) per slot;
+4. ONE single-key pair sort over the fused uint32 key
+   ``tile << RANK_BITS | rank`` (falls back to a (tile, rank) 2-key sort
+   when the bit budget doesn't fit), carrying (gaussian id, slot);
+5. per-tile [start, end) ranges via binary search over the sorted keys;
+6. NO packed/padded copy: the blend kernels walk the sorted pair stream
+   directly, driven by SEGMENT metadata (chunk, tile, row range, k0) —
+   at most num_tiles + num_chunks + 1 segments, built from small arrays;
+7. sorted attrs come from one row gather ``table[g_s]`` wrapped in a custom
+   VJP whose backward is gather-to-slot-order + cumsum-difference segment
+   sums — the deterministic replacement for the reference backward's
+   atomicAdd (backward.cu:537,574-583) with no scatter-add anywhere.
+
+Static capacity ``pair_cap`` replaces the reference's device-side buffer
+resizing (rasterizer_impl.cu:281-282); overflow is reported for host-side
+re-tracing.
 """
 from __future__ import annotations
 
@@ -55,16 +56,22 @@ A_X, A_Y, A_CA, A_CB, A_CC, A_OP, A_R, A_G, A_B, A_DEPTH, A_VALID = range(11)
 
 
 class TileBins(NamedTuple):
-    """Chunk-aligned, depth-sorted per-tile pair lists."""
+    """Depth-sorted pair stream + segment metadata for the blend walk.
 
-    attrs: jax.Array        # (padded_cap, ATTR_DIM) f32, chunk-aligned per tile
-    gid: jax.Array          # (padded_cap,) int32 gaussian id (P = padding sentinel)
-    tile_chunk_start: jax.Array  # (num_tiles,) int32 first chunk of each tile
-    tile_num_chunks: jax.Array   # (num_tiles,) int32
-    chunk_tile: jax.Array   # (num_chunks_cap,) int32 tile of each chunk (num_tiles = pad)
-    chunk_k0: jax.Array     # (num_chunks_cap,) int32 within-tile pair index of chunk row 0
-    num_pairs: jax.Array    # scalar int32: true (unpadded) pair count
-    overflow: jax.Array     # scalar bool: capacities exceeded -> output invalid
+    A *segment* is a maximal run of pairs that live in one chunk AND one
+    tile; every tile has at least one (possibly zero-length) segment, so
+    the blend initializes every tile's state.  Inactive padding segments
+    point at the trash tile ``num_tiles`` with an empty row range.
+    """
+
+    attrs: jax.Array      # (pair_cap, ATTR_DIM) f32, (tile, depth)-sorted
+    seg_chunk: jax.Array  # (seg_cap,) i32 chunk holding the segment's rows
+    seg_tile: jax.Array   # (seg_cap,) i32 tile (num_tiles = trash)
+    seg_k0: jax.Array     # (seg_cap,) i32 within-tile pair index of seg row 0
+    seg_lo: jax.Array     # (seg_cap,) i32 first row within the chunk
+    seg_hi: jax.Array     # (seg_cap,) i32 one-past-last row within the chunk
+    num_pairs: jax.Array  # scalar i32: true pair count
+    overflow: jax.Array   # scalar bool: pair_cap exceeded -> output invalid
 
 
 def num_tiles_for(height: int, width: int, tile_size: int) -> tuple[int, int]:
@@ -72,6 +79,12 @@ def num_tiles_for(height: int, width: int, tile_size: int) -> tuple[int, int]:
         (width + tile_size - 1) // tile_size,
         (height + tile_size - 1) // tile_size,
     )
+
+
+def seg_capacity(num_tiles: int, pair_cap: int, chunk: int) -> int:
+    """Static segment-list capacity: one first-segment per tile, at most one
+    continuation segment per chunk, plus one guaranteed trash segment."""
+    return num_tiles + pair_cap // chunk + 1
 
 
 def gaussian_attr_table(proc: ProcessedGaussians) -> jax.Array:
@@ -91,36 +104,40 @@ def gaussian_attr_table(proc: ProcessedGaussians) -> jax.Array:
     return jnp.concatenate([table, jnp.zeros((1, ATTR_DIM), jnp.float32)])
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def packed_gather(table, gid, slot2packed, offsets, counts, pair_cap):
-    """attrs = table[gid] with a scatter-free backward.
+@jax.custom_vjp
+def sorted_gather(table, g_s, slot2sorted, offsets, counts, total):
+    """attrs = table[g_s] with a scatter-free backward.
 
     The VJP of a plain gather is an XLA scatter-add (~420 ms at 4M x 16 on
     v5e).  Here the cotangent is instead (a) gathered back to *slot order*
     (pairs of one gaussian are contiguous slots by construction of the
-    expansion), (b) prefix-summed once, and (c) segment-reduced by
-    cumsum-difference at the per-gaussian slot ranges (~70 ms total).
-    Deterministic, like every JAX reduction — this is the role atomicAdd
-    plays in the reference backward (backward.cu:537,574-583).
+    expansion), (b) masked to the live range, (c) prefix-summed once, and
+    (d) segment-reduced by cumsum-difference at the per-gaussian slot
+    ranges.  Deterministic, like every JAX reduction — this is the role
+    atomicAdd plays in the reference backward (backward.cu:537,574-583).
     """
-    del slot2packed, offsets, counts, pair_cap
-    return table[gid]
+    del slot2sorted, offsets, counts, total
+    return table[g_s]
 
 
-def _packed_gather_fwd(table, gid, slot2packed, offsets, counts, pair_cap):
-    return table[gid], (gid, slot2packed, offsets, counts, table.shape[0])
+def _sorted_gather_fwd(table, g_s, slot2sorted, offsets, counts, total):
+    return table[g_s], (g_s, slot2sorted, offsets, counts, total)
 
 
-def _packed_gather_bwd(pair_cap, res, d):
-    gid, slot2packed, offsets, counts, rows = res
-    # (a) cotangent rows in slot order; out-of-range (invalid slot / dropped
-    # pair) indices read zero
-    d_slot = jnp.take(d, slot2packed, axis=0, mode="fill", fill_value=0.0,
-                      indices_are_sorted=False, unique_indices=False)
-    # (b) one prefix sum over all pair slots
+def _sorted_gather_bwd(res, d):
+    g_s, slot2sorted, offsets, counts, total = res
+    pair_cap = g_s.shape[0]
+    # (a) cotangent rows in slot order
+    d_slot = jnp.take(d, slot2sorted, axis=0, mode="fill", fill_value=0.0)
+    # (b) rows past the live pair range are garbage (the Pallas backward
+    # never writes chunks beyond the last live segment) — zero them here so
+    # the prefix sums below stay clean
+    live = jnp.arange(pair_cap, dtype=jnp.int32) < total
+    d_slot = jnp.where(live[:, None], d_slot, 0.0)
+    # (c) one prefix sum over all pair slots
     cs = jnp.cumsum(d_slot, axis=0)
     cs = jnp.concatenate([jnp.zeros((1, d.shape[1]), d.dtype), cs], axis=0)
-    # (c) per-gaussian segment sums = cs[end] - cs[start]
+    # (d) per-gaussian segment sums = cs[end] - cs[start]
     lo = jnp.clip(offsets, 0, pair_cap)
     hi = jnp.clip(offsets + counts, 0, pair_cap)
     d_rows = cs[hi] - cs[lo]
@@ -128,10 +145,15 @@ def _packed_gather_bwd(pair_cap, res, d):
         [d_rows, jnp.zeros((1, d.shape[1]), d.dtype)], axis=0
     )
     zint = lambda x: np.zeros(x.shape, jax.dtypes.float0)
-    return d_table, zint(gid), zint(slot2packed), zint(offsets), zint(counts)
+    return (d_table, zint(g_s), zint(slot2sorted), zint(offsets),
+            zint(counts), zint(total))
 
 
-packed_gather.defvjp(_packed_gather_fwd, _packed_gather_bwd)
+sorted_gather.defvjp(_sorted_gather_fwd, _sorted_gather_bwd)
+
+
+def _ceil_log2(n: int) -> int:
+    return max(1, int(np.ceil(np.log2(max(n, 2)))))
 
 
 def build_tile_bins(
@@ -148,123 +170,129 @@ def build_tile_bins(
     num_tiles = grid_x * grid_y
     P = proc.depth.shape[0]
     pair_cap = ((pair_cap + chunk - 1) // chunk) * chunk   # chunk-align
-    padded_cap = pair_cap + num_tiles * chunk
-    num_chunks_cap = padded_cap // chunk
+    n_chunks = pair_cap // chunk
 
     counts = proc.tiles_touched.astype(jnp.int32)            # (P,)
     cum = jnp.cumsum(counts)
     total = cum[-1]
     offsets = cum - counts                                   # exclusive
 
-    # depth sort key: the raw float32 bit pattern as int32 — monotone in the
-    # value for positive floats (depth > near-plane guarantees positive),
-    # the same property the reference's radix keys exploit
-    # (rasterizer_impl.cu:102-104).  No argsort / rank pass needed.
     depth_bits = jax.lax.bitcast_convert_type(
         jax.lax.stop_gradient(proc.depth), jnp.int32
     )
 
-    # slot -> gaussian id (scatter one marker per gaussian, cumsum recovers
-    # the owner of every slot)
-    marks = jnp.zeros((pair_cap,), jnp.int32).at[offsets].add(1, mode="drop")
-    g = jnp.clip(jnp.cumsum(marks) - 1, 0, P - 1)
-    slot = jnp.arange(pair_cap, dtype=jnp.int32)
-    slot_valid = slot < total
+    # ---- depth rank: two cheap P-scale sorts (~0.4 ms each at 1M) give a
+    # dense 0..P-1 rank in (depth_bits, index) order, turning the pair sort
+    # into a single fused-key sort
+    iota_p = jnp.arange(P, dtype=jnp.int32)
+    _, perm = jax.lax.sort((depth_bits, iota_p), num_keys=2, is_stable=False)
+    _, rank_of = jax.lax.sort((perm, iota_p), num_keys=1, is_stable=False)
 
-    # per-slot gaussian info through ONE packed (P, 4) row gather:
-    # [pair offset, depth bits, rect_min_x | rect_min_y << 16, rect width]
+    # ---- pair expansion: owner gaussian per slot via mark scatter + cumsum
+    # (the only pair-scale scatter left), then ONE packed row gather for the
+    # per-gaussian expansion data
     gtab = jnp.stack(
         [
             offsets,
-            depth_bits,
+            rank_of,
             proc.rect_min[:, 0] | (proc.rect_min[:, 1] << 16),
             jnp.maximum(proc.rect_max[:, 0] - proc.rect_min[:, 0], 1),
         ],
         axis=-1,
     )
+    marks = jnp.zeros((pair_cap,), jnp.int32).at[offsets].add(1, mode="drop")
+    g = jnp.clip(jnp.cumsum(marks) - 1, 0, P - 1)
+    slot = jnp.arange(pair_cap, dtype=jnp.int32)
+    slot_valid = slot < total
+
     row = gtab[g]                                            # (pair_cap, 4)
     local = slot - row[:, 0]
     rw = row[:, 3]
     tx = (row[:, 2] & 0xFFFF) + local % rw
     ty = (row[:, 2] >> 16) + local // rw
     tile = jnp.where(slot_valid, ty * grid_x + tx, num_tiles)
+    rank = row[:, 1]
+    g_v = jnp.where(slot_valid, g, P)
 
-    # ONE unstable 3-int-key sort; the gaussian-index key makes the order a
-    # total one, so equal depths tie-break exactly like the reference's
-    # stable radix sort (pair emission order == gaussian index order)
-    tile_s, _, g_s, slot_s = jax.lax.sort(
-        (tile, row[:, 1], g, slot), num_keys=3, is_stable=False
-    )
-
-    # per-tile [start, count) from binary search over the sorted tile keys
-    edges = jnp.searchsorted(
-        tile_s, jnp.arange(num_tiles + 1, dtype=jnp.int32), side="left"
-    ).astype(jnp.int32)
+    # ---- ONE pair sort.  Order (tile, rank) == the reference's stable
+    # radix order over (tileID, depth_bits) with index tie-breaks.
+    rank_bits = _ceil_log2(P)
+    tile_bits = _ceil_log2(num_tiles + 1)
+    if rank_bits + tile_bits <= 32:
+        key = (tile.astype(jnp.uint32) << rank_bits) | jnp.where(
+            slot_valid, rank, 0
+        ).astype(jnp.uint32)
+        key_s, g_s, slot_s = jax.lax.sort(
+            (key, g_v, slot), num_keys=1, is_stable=False
+        )
+        bounds = (
+            jnp.arange(num_tiles + 1, dtype=jnp.uint32) << rank_bits
+        )
+        edges = jnp.searchsorted(key_s, bounds, side="left").astype(jnp.int32)
+    else:
+        tile_s, _, g_s, slot_s = jax.lax.sort(
+            (tile, rank, g_v, slot), num_keys=2, is_stable=False
+        )
+        edges = jnp.searchsorted(
+            tile_s, jnp.arange(num_tiles + 1, dtype=jnp.int32), side="left"
+        ).astype(jnp.int32)
     tile_start = edges[:num_tiles]
-    tile_counts = edges[1:] - edges[:-1]
+    tile_end = edges[1:]
 
-    # every tile gets >= 1 chunk so the blend grid walk initializes and
-    # emits every tile's state; padded_cap's headroom covers this
-    padded_counts = jnp.maximum(
-        ((tile_counts + chunk - 1) // chunk) * chunk, chunk
-    )
-    padded_cumsum = jnp.cumsum(padded_counts)
-    padded_start = padded_cumsum - padded_counts
-    total_padded = padded_cumsum[-1]
+    # original slot -> sorted position (for the backward's re-gather):
+    # slot_s is a permutation of [0, pair_cap), so sorting (slot_s, j)
+    # yields the inverse directly — a sort (~6 ms at 4M) instead of a
+    # random int32 scatter (~19 ms)
+    _, slot2sorted = jax.lax.sort((slot_s, slot), num_keys=1, is_stable=False)
 
-    # sorted position j -> packed destination (closed form, no histogram).
-    # dest is strictly increasing over valid pairs (tile_s is sorted and
-    # within a tile dest steps by 1), which is what makes the two inverse
-    # maps below expressible without random scatters.
-    pair_valid_s = tile_s < num_tiles
-    tile_cl = jnp.minimum(tile_s, num_tiles - 1)
-    j = jnp.arange(pair_cap, dtype=jnp.int32)
-    dest = jnp.where(
-        pair_valid_s, padded_start[tile_cl] + (j - tile_start[tile_cl]),
-        padded_cap,
-    )
-    # original slot -> packed destination (for the backward's re-gather):
-    # slot_s is a permutation of [0, pair_cap), so sorting (slot_s, dest)
-    # by the first operand yields slot2packed directly — a sort (~10 ms at
-    # 4M) instead of a random int32 scatter (~48 ms)
-    _, slot2packed = jax.lax.sort((slot_s, dest), num_keys=1, is_stable=False)
-
-    # chunk -> (tile, k0): scatter+cumsum over the (small) chunk axis
-    tile_chunk_start = padded_start // chunk
-    tile_num_chunks = padded_counts // chunk
-    cmarks = (
-        jnp.zeros((num_chunks_cap,), jnp.int32)
-        .at[tile_chunk_start]
-        .add(1, mode="drop")
-    )
-    chunk_tile_raw = jnp.clip(jnp.cumsum(cmarks) - 1, 0, num_tiles - 1)
-    chunk_idx = jnp.arange(num_chunks_cap, dtype=jnp.int32)
-    chunk_in_range = chunk_idx < (total_padded // chunk)
-    chunk_k0 = (chunk_idx - tile_chunk_start[chunk_tile_raw]) * chunk
-    chunk_tile = jnp.where(chunk_in_range, chunk_tile_raw, num_tiles)
-
-    # packed gaussian ids: one direct 4-byte scatter (padding slots keep the
-    # sentinel P and gather the zero attr row).  A closed-form gather
-    # formulation (gid[p] = g_s[tile_start[t] + p - padded_start[t]]) was
-    # measured 110 ms SLOWER at 4M pairs — the three chained index gathers
-    # cost more than one monotone scatter.
-    gid = (
-        jnp.full((padded_cap,), P, jnp.int32)
-        .at[dest]
-        .set(g_s, mode="drop")
-    )
-    attrs = packed_gather(
-        gaussian_attr_table(proc), gid, slot2packed, offsets, counts, pair_cap
+    attrs = sorted_gather(
+        gaussian_attr_table(proc), g_s, slot2sorted, offsets, counts, total
     )
 
-    overflow = (total > pair_cap) | (total_padded > padded_cap)
+    # ---- segment metadata (all small arrays: num_tiles + n_chunks + 1).
+    # Tile-first segments: tile t's rows from its start to the next chunk
+    # boundary (zero-length for empty tiles, which still initializes their
+    # state block).  Continuation segments: one per chunk boundary that
+    # falls inside a tile's range.
+    t_ids = jnp.arange(num_tiles, dtype=jnp.int32)
+    nb = (tile_start // chunk + 1) * chunk
+    lo_t = tile_start
+    hi_t = jnp.minimum(tile_end, nb)
+    k0_t = jnp.zeros((num_tiles,), jnp.int32)
+
+    c_ids = jnp.arange(n_chunks, dtype=jnp.int32)
+    s = c_ids * chunk
+    u = jnp.clip(
+        jnp.searchsorted(tile_start, s, side="right").astype(jnp.int32) - 1,
+        0, num_tiles - 1,
+    )
+    live_c = (s < total) & (tile_start[u] < s) & (tile_end[u] > s)
+    lo_c = jnp.where(live_c, s, pair_cap)
+    hi_c = jnp.where(live_c, jnp.minimum(tile_end[u], s + chunk), pair_cap)
+    tile_c = jnp.where(live_c, u, num_tiles)
+    k0_c = jnp.where(live_c, s - tile_start[u], 0)
+
+    # one guaranteed trash segment so the trash state block is always
+    # initialized (avoids NaN garbage reaching finalize's backward)
+    one = lambda v: jnp.full((1,), v, jnp.int32)
+    lo_all = jnp.concatenate([lo_t, lo_c, one(pair_cap)])
+    hi_all = jnp.concatenate([hi_t, hi_c, one(pair_cap)])
+    tile_all = jnp.concatenate([t_ids, tile_c, one(num_tiles)])
+    k0_all = jnp.concatenate([k0_t, k0_c, one(0)])
+
+    lo_s2, tile_s2, hi_s2, k0_s2 = jax.lax.sort(
+        (lo_all, tile_all, hi_all, k0_all), num_keys=2, is_stable=False
+    )
+    seg_chunk = jnp.clip(lo_s2 // chunk, 0, n_chunks - 1)
+
+    overflow = total > pair_cap
     return TileBins(
         attrs=attrs,
-        gid=gid,
-        tile_chunk_start=tile_chunk_start,
-        tile_num_chunks=tile_num_chunks,
-        chunk_tile=chunk_tile,
-        chunk_k0=jnp.where(chunk_in_range, chunk_k0, 0),
+        seg_chunk=seg_chunk,
+        seg_tile=tile_s2,
+        seg_k0=k0_s2,
+        seg_lo=lo_s2 - seg_chunk * chunk,
+        seg_hi=hi_s2 - seg_chunk * chunk,
         num_pairs=total,
         overflow=overflow,
     )

@@ -4,27 +4,32 @@ The production counterpart of the reference CUDA blend kernels
 (forward.cu:261-421, backward.cu:398-586), designed for the TPU memory
 hierarchy rather than translated:
 
-* grid = packed pair *chunks* (from render.binning), walked sequentially;
+* grid = tile *segments* of the depth-sorted pair stream (from
+  render.binning): a segment is a run of rows inside one (chunk, tile).
   Pallas double-buffers the (chunk, 16) attribute slabs HBM->VMEM while the
-  VPU composites the previous slab;
-* the chunk -> tile id array is a scalar-prefetch operand, and the *output
-  block index* is ``chunk_tile[i]``: all chunks of a tile map to the same
+  VPU composites the previous slab; consecutive segments of one chunk reuse
+  the resident slab;
+* the per-segment tile id is a scalar-prefetch operand, and the *output
+  block index* is ``seg_tile[i]``: all segments of a tile map to the same
   (8, tile_pixels) state block, which therefore stays resident in VMEM for
   the whole tile walk and is flushed to HBM exactly once per tile —
   the VMEM-locality role of the reference's per-tile shared-memory loop;
+* rows outside the segment's [lo, hi) range are masked out of the commit
+  set (they belong to neighboring tiles sharing the chunk);
 * per-pixel early termination (T < 1e-4) uses a sticky done row in the
   state block instead of a thread-local break;
-* the backward kernel re-walks chunks front-to-back, recovering each pair's
-  pre-transmittance with an in-chunk prefix product and the suffix term
-  sum_{j>i} w_j q_j from the saved per-tile totals (algebraically identical
-  to the reference's back-to-front T/(1-alpha) unwind, backward.cu:517-563,
-  including the background term and the disabled-in-reference depth path);
-  each (gaussian, tile) pair writes its gradient to its own packed slot,
-  so there are NO atomics — the pair->Gaussian reduction is the VJP of the
-  binning gather (an XLA segment-sum).
+* the backward kernel re-walks segments front-to-back, recovering each
+  pair's pre-transmittance with an in-chunk prefix product and the suffix
+  term sum_{j>i} w_j q_j from the saved per-tile totals (algebraically
+  identical to the reference's back-to-front T/(1-alpha) unwind,
+  backward.cu:517-563, including the background term and the
+  disabled-in-reference depth path); each (gaussian, tile) pair writes its
+  gradient to its own sorted-stream row, so there are NO atomics — the
+  pair->Gaussian reduction is the VJP of the binning gather (a cumsum
+  difference in slot order).
 
 Layouts (all natural, no in-kernel transposes):
-  attrs   (padded_cap, 16) f32   -> blocks (chunk, 16), gaussians on sublanes
+  attrs   (pair_cap, 16) f32     -> blocks (chunk, 16), gaussians on sublanes
   state   (num_tiles+1, 8, npix) -> blocks (1, 8, npix), pixels on lanes
   chunk math (chunk, npix): gaussians on sublanes, pixels on lanes.
 """
@@ -83,11 +88,13 @@ def _inclusive_scan(x, op, identity, axis=0):
     return y
 
 
-def _chunk_core(a, px, py, t_pix, done_pix):
-    """Shared forward-recompute: alphas, commit mask, weights for one chunk.
+def _chunk_core(a, active, px, py, t_pix, done_pix):
+    """Shared forward-recompute: alphas, commit mask, weights for one
+    segment's rows of a chunk.
 
-    a: (K, ATTR_DIM); px/py: (1, N); t_pix/done_pix: (1, N).
-    Semantics identical to blend_math.gaussian_alpha + blend_chunk.
+    a: (K, ATTR_DIM); active: (K, 1) segment row mask; px/py: (1, N);
+    t_pix/done_pix: (1, N).  Semantics identical to
+    blend_math.gaussian_alpha + blend_chunk.
     """
     dx = a[:, A_X : A_X + 1] - px                      # (K, N)
     dy = a[:, A_Y : A_Y + 1] - py
@@ -101,7 +108,8 @@ def _chunk_core(a, px, py, t_pix, done_pix):
     alpha_raw = op * G
     alpha = jnp.minimum(alpha_raw, ALPHA_CLAMP)
     valid = (
-        (a[:, A_VALID : A_VALID + 1] > 0.5)
+        active
+        & (a[:, A_VALID : A_VALID + 1] > 0.5)
         & (power <= 0.0)
         & (alpha >= ALPHA_MIN)
     )
@@ -141,11 +149,14 @@ def _pixel_coords(t, grid_x, tile_size, npix):
     return px, py
 
 
-def _fwd_kernel(ct_ref, ck_ref, attrs_ref, out_ref, *, grid_x, tile_size, chunk):
+def _fwd_kernel(ct_ref, ck_ref, lo_ref, hi_ref, sc_ref, attrs_ref, out_ref,
+                *, grid_x, tile_size, chunk):
     npix = tile_size * tile_size
     i = pl.program_id(0)
     t = ct_ref[i]
     k0 = ck_ref[i]
+    lo = lo_ref[i]
+    hi = hi_ref[i]
 
     @pl.when(k0 == 0)
     def _():
@@ -162,15 +173,18 @@ def _fwd_kernel(ct_ref, ck_ref, attrs_ref, out_ref, *, grid_x, tile_size, chunk)
     st = out_ref[0]                                        # (8, npix)
 
     # whole-tile early exit: once every pixel has latched done, the
-    # remaining chunks of the tile are exact no-ops (the VMEM-resident
+    # remaining segments of the tile are exact no-ops (the VMEM-resident
     # state block just stays put) — the per-tile analogue of the
     # reference's per-thread early return (forward.cu:334-337)
-    @pl.when(jnp.min(st[S_DONE : S_DONE + 1, :]) < 0.5)
+    @pl.when((jnp.min(st[S_DONE : S_DONE + 1, :]) < 0.5) & (hi > lo))
     def _():
         px, py = _pixel_coords(t, grid_x, tile_size, npix)
         a = attrs_ref[:, :]                                # (chunk, 16)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
+        active = (rows >= lo) & (rows < hi)
         c = _chunk_core(
-            a, px, py, st[S_T : S_T + 1, :], st[S_DONE : S_DONE + 1, :] > 0.5
+            a, active, px, py, st[S_T : S_T + 1, :],
+            st[S_DONE : S_DONE + 1, :] > 0.5,
         )
         w = c["w"]
 
@@ -183,11 +197,8 @@ def _fwd_kernel(ct_ref, ck_ref, attrs_ref, out_ref, *, grid_x, tile_size, chunk)
         d_new = acc_row(S_D, A_DEPTH)
         acc_new = st[S_ACC : S_ACC + 1, :] + jnp.sum(w, axis=0, keepdims=True)
 
-        idx = (
-            k0
-            + jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
-            + 1
-        ).astype(jnp.float32)
+        # within-tile pair index of chunk row r is k0 + (r - lo)
+        idx = (k0 - lo + rows + 1).astype(jnp.float32)
         contrib = jnp.max(
             jnp.where(c["commit"], idx, 0.0), axis=0, keepdims=True
         )
@@ -202,13 +213,21 @@ def _fwd_kernel(ct_ref, ck_ref, attrs_ref, out_ref, *, grid_x, tile_size, chunk)
 
 
 def _bwd_kernel(
-    ct_ref, ck_ref, attrs_ref, state_ref, dout_ref, dattr_ref, scr_ref,
-    *, grid_x, tile_size, chunk,
+    ct_ref, ck_ref, lo_ref, hi_ref, sc_ref, attrs_ref, state_ref, dout_ref,
+    dattr_ref, scr_ref, *, grid_x, tile_size, chunk,
 ):
     npix = tile_size * tile_size
     i = pl.program_id(0)
     t = ct_ref[i]
     k0 = ck_ref[i]
+    lo = lo_ref[i]
+    hi = hi_ref[i]
+
+    # first segment of each chunk zero-initializes the whole gradient block;
+    # later segments of the chunk read-modify-write their own rows
+    @pl.when(lo == 0)
+    def _():
+        dattr_ref[:, :] = jnp.zeros((chunk, ATTR_DIM), jnp.float32)
 
     @pl.when(k0 == 0)
     def _():
@@ -223,23 +242,19 @@ def _bwd_kernel(
 
     # whole-tile early exit (mirrors the forward): once the running done row
     # is all-latched, every remaining pair of the tile is uncommitted and
-    # its gradient is exactly zero
+    # its gradient is exactly zero (rows keep their chunk-init zeros)
     all_done = jnp.min(scr_ref[2:3, :]) > 0.5
 
-    @pl.when(all_done)
-    def _():
-        dattr_ref[:, :] = jnp.zeros((chunk, ATTR_DIM), jnp.float32)
-
-    @pl.when(jnp.logical_not(all_done))
+    @pl.when(jnp.logical_not(all_done) & (hi > lo))
     def _():
         _bwd_chunk_body(
-            t, attrs_ref, state_ref, dout_ref, dattr_ref,
+            t, k0, lo, hi, attrs_ref, state_ref, dout_ref, dattr_ref,
             scr_ref, grid_x=grid_x, tile_size=tile_size, chunk=chunk,
         )
 
 
 def _bwd_chunk_body(
-    t, attrs_ref, state_ref, dout_ref, dattr_ref, scr_ref,
+    t, k0, lo, hi, attrs_ref, state_ref, dout_ref, dattr_ref, scr_ref,
     *, grid_x, tile_size, chunk,
 ):
     npix = tile_size * tile_size
@@ -265,10 +280,12 @@ def _bwd_chunk_body(
 
     px, py = _pixel_coords(t, grid_x, tile_size, npix)
     a = attrs_ref[:, :]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
+    active = (rows >= lo) & (rows < hi)
     t_run = scr_ref[0:1, :]
     wq_run = scr_ref[1:2, :]
     done_run = scr_ref[2:3, :] > 0.5
-    c = _chunk_core(a, px, py, t_run, done_run)
+    c = _chunk_core(a, active, px, py, t_run, done_run)
     w = c["w"]
 
     # q_i = dL/dw_i for each pair/pixel
@@ -303,13 +320,14 @@ def _bwd_chunk_body(
     d_b = red(w * g_b)
     d_depth = red(w * g_d)
 
-    dattr_ref[:, :] = jnp.concatenate(
+    vals = jnp.concatenate(
         [
             d_x, d_y, d_ca, d_cb, d_cc, d_op, d_r, d_g, d_b, d_depth,
             jnp.zeros((chunk, ATTR_DIM - 10), jnp.float32),
         ],
         axis=1,
     )
+    dattr_ref[:, :] = jnp.where(active, vals, dattr_ref[:, :])
 
     scr_ref[0:3] = jnp.concatenate(
         [
@@ -321,20 +339,21 @@ def _bwd_chunk_body(
     )
 
 
-def _fwd_call(attrs, chunk_tile, chunk_k0, grid_x, grid_y, tile_size, chunk,
-              interpret=False):
+def _fwd_call(attrs, seg_tile, seg_k0, seg_lo, seg_hi, seg_chunk,
+              grid_x, grid_y, tile_size, chunk, interpret=False):
     num_tiles = grid_x * grid_y
     npix = tile_size * tile_size
-    num_chunks = attrs.shape[0] // chunk
+    n_segs = seg_tile.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(num_chunks,),
+        num_scalar_prefetch=5,
+        grid=(n_segs,),
         in_specs=[
-            pl.BlockSpec((chunk, ATTR_DIM), lambda i, ct, ck: (i, 0),
+            pl.BlockSpec((chunk, ATTR_DIM),
+                         lambda i, ct, ck, lo, hi, sc: (sc[i], 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, STATE_ROWS, npix),
-                               lambda i, ct, ck: (ct[i], 0, 0),
+                               lambda i, ct, ck, lo, hi, sc: (ct[i], 0, 0),
                                memory_space=pltpu.VMEM),
     )
     kernel = functools.partial(
@@ -347,25 +366,30 @@ def _fwd_call(attrs, chunk_tile, chunk_k0, grid_x, grid_y, tile_size, chunk,
             (num_tiles + 1, STATE_ROWS, npix), jnp.float32
         ),
         interpret=interpret,
-    )(chunk_tile, chunk_k0, attrs)
+    )(seg_tile, seg_k0, seg_lo, seg_hi, seg_chunk, attrs)
 
 
-def _bwd_call(attrs, chunk_tile, chunk_k0, state, dstate,
-              grid_x, grid_y, tile_size, chunk, interpret=False):
+def _bwd_call(attrs, seg_tile, seg_k0, seg_lo, seg_hi, seg_chunk,
+              state, dstate, grid_x, grid_y, tile_size, chunk,
+              interpret=False):
     npix = tile_size * tile_size
-    num_chunks = attrs.shape[0] // chunk
+    n_segs = seg_tile.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(num_chunks,),
+        num_scalar_prefetch=5,
+        grid=(n_segs,),
         in_specs=[
-            pl.BlockSpec((chunk, ATTR_DIM), lambda i, ct, ck: (i, 0),
+            pl.BlockSpec((chunk, ATTR_DIM),
+                         lambda i, ct, ck, lo, hi, sc: (sc[i], 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, STATE_ROWS, npix), lambda i, ct, ck: (ct[i], 0, 0),
+            pl.BlockSpec((1, STATE_ROWS, npix),
+                         lambda i, ct, ck, lo, hi, sc: (ct[i], 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, STATE_ROWS, npix), lambda i, ct, ck: (ct[i], 0, 0),
+            pl.BlockSpec((1, STATE_ROWS, npix),
+                         lambda i, ct, ck, lo, hi, sc: (ct[i], 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((chunk, ATTR_DIM), lambda i, ct, ck: (i, 0),
+        out_specs=pl.BlockSpec((chunk, ATTR_DIM),
+                               lambda i, ct, ck, lo, hi, sc: (sc[i], 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((STATE_ROWS, npix), jnp.float32)],
     )
@@ -377,29 +401,31 @@ def _bwd_call(attrs, chunk_tile, chunk_k0, state, dstate,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(attrs.shape, jnp.float32),
         interpret=interpret,
-    )(chunk_tile, chunk_k0, attrs, state, dstate)
+    )(seg_tile, seg_k0, seg_lo, seg_hi, seg_chunk, attrs, state, dstate)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
-def _blend_pallas(attrs, chunk_tile, chunk_k0,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
+def _blend_pallas(attrs, seg_tile, seg_k0, seg_lo, seg_hi, seg_chunk,
                   grid_x, grid_y, tile_size, chunk, interpret):
-    return _fwd_call(attrs, chunk_tile, chunk_k0,
+    return _fwd_call(attrs, seg_tile, seg_k0, seg_lo, seg_hi, seg_chunk,
                      grid_x, grid_y, tile_size, chunk, interpret)
 
 
-def _blend_fwd(attrs, chunk_tile, chunk_k0, grid_x, grid_y, tile_size, chunk,
-               interpret):
-    state = _fwd_call(attrs, chunk_tile, chunk_k0,
+def _blend_fwd(attrs, seg_tile, seg_k0, seg_lo, seg_hi, seg_chunk,
+               grid_x, grid_y, tile_size, chunk, interpret):
+    state = _fwd_call(attrs, seg_tile, seg_k0, seg_lo, seg_hi, seg_chunk,
                       grid_x, grid_y, tile_size, chunk, interpret)
-    return state, (attrs, chunk_tile, chunk_k0, state)
+    return state, (attrs, seg_tile, seg_k0, seg_lo, seg_hi, seg_chunk, state)
 
 
 def _blend_bwd(grid_x, grid_y, tile_size, chunk, interpret, res, dstate):
-    attrs, chunk_tile, chunk_k0, state = res
-    dattrs = _bwd_call(attrs, chunk_tile, chunk_k0, state, dstate,
-                       grid_x, grid_y, tile_size, chunk, interpret)
+    attrs, seg_tile, seg_k0, seg_lo, seg_hi, seg_chunk, state = res
+    dattrs = _bwd_call(attrs, seg_tile, seg_k0, seg_lo, seg_hi, seg_chunk,
+                       state, dstate, grid_x, grid_y, tile_size, chunk,
+                       interpret)
     zint = lambda x: np.zeros(x.shape, jax.dtypes.float0)
-    return dattrs, zint(chunk_tile), zint(chunk_k0)
+    return (dattrs, zint(seg_tile), zint(seg_k0), zint(seg_lo),
+            zint(seg_hi), zint(seg_chunk))
 
 
 _blend_pallas.defvjp(_blend_fwd, _blend_bwd)
@@ -413,7 +439,7 @@ def blend_tiles_pallas(
     chunk: int,
     interpret: bool = False,
 ) -> blend_math.BlendCarry:
-    """Composite all packed chunks; same interface as blend_tiles_xla
+    """Composite all segments; same interface as blend_tiles_xla
     (flat per-pixel state arrays of length (num_tiles+1) * tile_size^2)."""
     npix = tile_size * tile_size
     if npix % 128 != 0:
@@ -423,8 +449,8 @@ def blend_tiles_pallas(
     if chunk % 8 != 0:
         raise ValueError(f"chunk must be a multiple of 8, got {chunk}")
     state = _blend_pallas(
-        bins.attrs, bins.chunk_tile, bins.chunk_k0,
-        grid_x, grid_y, tile_size, chunk, interpret,
+        bins.attrs, bins.seg_tile, bins.seg_k0, bins.seg_lo, bins.seg_hi,
+        bins.seg_chunk, grid_x, grid_y, tile_size, chunk, interpret,
     )
     flat = lambda r: state[:, r, :].reshape(-1)
     return blend_math.BlendCarry(

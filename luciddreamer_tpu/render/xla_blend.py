@@ -1,12 +1,13 @@
-"""Portable tile-blend backend: a sequential XLA scan over packed pair chunks.
+"""Portable tile-blend backend: a sequential XLA scan over tile segments of
+the depth-sorted pair stream.
 
 Functionally identical to the Pallas kernels (same binning, same blend math),
 but runs on any backend — used for CPU tests and for validating multi-chip
-sharding on virtual device meshes.  The scan is sequential over chunks, so
+sharding on virtual device meshes.  The scan is sequential over segments, so
 it is only fast enough for small scenes; the TPU production path is
 render.pallas_blend.
 
-The whole function is differentiable (gradients reach the packed attribute
+The whole function is differentiable (gradients reach the sorted attribute
 array and flow back through binning's gathers to the Gaussian parameters).
 """
 from __future__ import annotations
@@ -40,14 +41,14 @@ def blend_tiles_xla(
     tile_size: int,
     chunk: int,
 ):
-    """Composite all chunks; returns per-pixel images in tile-major layout.
+    """Composite all segments; returns per-pixel images in tile-major layout.
 
     Output dict arrays have shape (num_tiles+1, tile_size*tile_size); the
-    final (+1) tile is a scratch target for padding chunks.
+    final (+1) tile is a scratch target for inactive padding segments.
     """
     num_tiles = grid_x * grid_y
     npix = tile_size * tile_size
-    n_chunks = bins.chunk_tile.shape[0]
+    n_segs = bins.seg_tile.shape[0]
 
     # local pixel coordinates within a tile
     lin = jnp.arange(npix, dtype=jnp.float32)
@@ -73,15 +74,21 @@ def blend_tiles_xla(
         )
 
     @functools.partial(jax.checkpoint, prevent_cse=False)
-    def step(carry, c):
-        t = bins.chunk_tile[c]
-        k0 = bins.chunk_k0[c]
+    def step(carry, s):
+        t = bins.seg_tile[s]
+        k0 = bins.seg_k0[s]
+        lo = bins.seg_lo[s]
+        hi = bins.seg_hi[s]
+        c = bins.seg_chunk[s]
         a = jax.lax.dynamic_slice_in_dim(bins.attrs, c * chunk, chunk, axis=0)
 
         tx = (t % grid_x).astype(jnp.float32)
         ty = (t // grid_x).astype(jnp.float32)
         px = tx * tile_size + lx   # (npix,)
         py = ty * tile_size + ly
+
+        rows = jnp.arange(chunk, dtype=jnp.int32)[:, None]
+        active = (rows >= lo) & (rows < hi)
 
         dx = a[:, A_X, None] - px[None, :]
         dy = a[:, A_Y, None] - py[None, :]
@@ -90,16 +97,20 @@ def blend_tiles_xla(
             a[:, A_OP, None],
         )
         valid = (
-            (a[:, A_VALID, None] > 0.5)
+            active
+            & (a[:, A_VALID, None] > 0.5)
             & in_ellipse
             & (alpha >= blend_math.ALPHA_MIN)
         )
         rgb = a[:, (A_R, A_G, A_B)]
         local = slice_state(carry, t)
-        local = blend_math.blend_chunk(local, alpha, valid, rgb, a[:, A_DEPTH], k0)
+        # within-tile pair index of chunk row r is k0 + (r - lo)
+        local = blend_math.blend_chunk(
+            local, alpha, valid, rgb, a[:, A_DEPTH], k0 - lo
+        )
         return write_state(carry, local, t), None
 
-    carry, _ = jax.lax.scan(step, state0, jnp.arange(n_chunks))
+    carry, _ = jax.lax.scan(step, state0, jnp.arange(n_segs))
     return carry
 
 
