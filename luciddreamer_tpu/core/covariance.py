@@ -85,7 +85,18 @@ def project_cov3d_to_2d(
     J = perspective Jacobian; cov2d = J W Sigma W^T J^T + 0.3*I.
     """
     W = viewmatrix[:3, :3]
-    t = jnp.matmul(mean, W.T, precision=_HI) + viewmatrix[:3, 3]
+    # Unrolled (..., 3) @ (3, 3)^T: tiny-contraction dot_generals pad onto
+    # the MXU (128-lane) and cost ~5 ms/op at 1M on v5e; the elementwise
+    # form fuses into the surrounding VPU work for free.
+    mx, my, mz = mean[..., 0], mean[..., 1], mean[..., 2]
+    t = jnp.stack(
+        [
+            W[0, 0] * mx + W[0, 1] * my + W[0, 2] * mz + viewmatrix[0, 3],
+            W[1, 0] * mx + W[1, 1] * my + W[1, 2] * mz + viewmatrix[1, 3],
+            W[2, 0] * mx + W[2, 1] * my + W[2, 2] * mz + viewmatrix[2, 3],
+        ],
+        axis=-1,
+    )
     # Rows with tz <= 0.2 are frustum-culled (masked downstream), but their
     # values still flow through autodiff: clamp tz so 1/tz stays finite and
     # no 0*inf=NaN leaks into masked gradients.  Visible rows (tz > 0.2)
@@ -96,19 +107,30 @@ def project_cov3d_to_2d(
     tx = jnp.clip(t[..., 0] / tz, -limx, limx) * tz
     ty = jnp.clip(t[..., 1] / tz, -limy, limy) * tz
 
-    # Unpack symmetric cov3d.
+    # V = W Sigma W^T, fully unrolled over the symmetric packing: the
+    # batched-einsum form is a (..., 3, 3) dot_general that pads onto the
+    # MXU and costs tens of ms at 1M Gaussians (see build_cov3d docstring);
+    # the unrolled form is ~45 fused VPU multiply-adds.
     s = cov3d
-    Sigma = jnp.stack(
-        [
-            s[..., 0], s[..., 1], s[..., 2],
-            s[..., 1], s[..., 3], s[..., 4],
-            s[..., 2], s[..., 4], s[..., 5],
-        ],
-        axis=-1,
-    ).reshape(s.shape[:-1] + (3, 3))
+    sxx, sxy, sxz = s[..., 0], s[..., 1], s[..., 2]
+    syy, syz, szz = s[..., 3], s[..., 4], s[..., 5]
 
-    # M = W Sigma W^T (world -> view rotation of the covariance)
-    V = jnp.einsum("ij,...jk,lk->...il", W, Sigma, W, precision=_HI)
+    def wsig_row(i):
+        # row i of A = W @ Sigma (scalars W[i, j] broadcast over the batch)
+        a0 = W[i, 0] * sxx + W[i, 1] * sxy + W[i, 2] * sxz
+        a1 = W[i, 0] * sxy + W[i, 1] * syy + W[i, 2] * syz
+        a2 = W[i, 0] * sxz + W[i, 1] * syz + W[i, 2] * szz
+        return a0, a1, a2
+
+    a00, a01, a02 = wsig_row(0)
+    a10, a11, a12 = wsig_row(1)
+    a20, a21, a22 = wsig_row(2)
+    v00 = a00 * W[0, 0] + a01 * W[0, 1] + a02 * W[0, 2]
+    v01 = a00 * W[1, 0] + a01 * W[1, 1] + a02 * W[1, 2]
+    v02 = a00 * W[2, 0] + a01 * W[2, 1] + a02 * W[2, 2]
+    v11 = a10 * W[1, 0] + a11 * W[1, 1] + a12 * W[1, 2]
+    v12 = a10 * W[2, 0] + a11 * W[2, 1] + a12 * W[2, 2]
+    v22 = a20 * W[2, 0] + a21 * W[2, 1] + a22 * W[2, 2]
 
     inv_z = 1.0 / tz
     inv_z2 = inv_z * inv_z
@@ -118,8 +140,6 @@ def project_cov3d_to_2d(
     j12 = -focal_y * ty * inv_z2
 
     # cov2d = J V J^T with J = [[j00, 0, j02], [0, j11, j12]]
-    v00, v01, v02 = V[..., 0, 0], V[..., 0, 1], V[..., 0, 2]
-    v11, v12, v22 = V[..., 1, 1], V[..., 1, 2], V[..., 2, 2]
     c_xx = j00 * j00 * v00 + 2.0 * j00 * j02 * v02 + j02 * j02 * v22 + 0.3
     c_xy = j00 * j11 * v01 + j00 * j12 * v02 + j02 * j11 * v12 + j02 * j12 * v22
     c_yy = j11 * j11 * v11 + 2.0 * j11 * j12 * v12 + j12 * j12 * v22 + 0.3

@@ -30,17 +30,24 @@ class ViTConfig:
     mlp_ratio: float = 4.0
     hooks: Sequence[int] = (5, 11, 17, 23)
     use_rel_pos_bias: bool = True       # BEiT-style
-    readout: str = "ignore"             # cls-token handling at reassembly
+    readout: str = "project"            # cls-token handling at reassembly
 
 
 BEIT_LARGE_384 = ViTConfig()
 VIT_TINY_TEST = ViTConfig(
-    patch_size=16, embed_dim=64, depth=4, num_heads=2, hooks=(0, 1, 2, 3)
+    patch_size=16, embed_dim=64, depth=4, num_heads=2, hooks=(0, 1, 2, 3),
+    readout="ignore",
 )
 
 
 class RelPosBias(nn.Module):
-    """BEiT relative position bias over a (h, w) token grid (+cls)."""
+    """BEiT relative position bias over a (h, w) token grid (+cls).
+
+    Index convention matches timm's BEiT exactly (required for pretrained
+    tables): patch-pair entries fill the (2h-1)(2w-1) grid; the 3 trailing
+    table rows are cls->patch (num_rel-3), patch->cls (num_rel-2), and
+    cls->cls (num_rel-1).
+    """
 
     num_heads: int
 
@@ -57,10 +64,11 @@ class RelPosBias(nn.Module):
         rel = rel + jnp.array([[h - 1], [w - 1]])[:, :, None]
         idx = rel[0] * (2 * w - 1) + rel[1]                 # (N, N)
         n = h * w
-        full = jnp.full((n + 1, n + 1), num_rel - 3, jnp.int32)
+        full = jnp.zeros((n + 1, n + 1), jnp.int32)
         full = full.at[1:, 1:].set(idx)
-        full = full.at[0, 1:].set(num_rel - 2)
-        full = full.at[1:, 0].set(num_rel - 1)
+        full = full.at[0, :].set(num_rel - 3)               # cls -> patches
+        full = full.at[:, 0].set(num_rel - 2)               # patches -> cls
+        full = full.at[0, 0].set(num_rel - 1)               # cls -> cls
         return table[full].transpose(2, 0, 1)               # (heads, N+1, N+1)
 
 
@@ -102,7 +110,7 @@ class Block(nn.Module):
         x = x + gamma1 * h
         y = nn.LayerNorm(name="norm2")(x)
         y = nn.Dense(int(self.dim * self.mlp_ratio), name="fc1")(y)
-        y = nn.gelu(y)
+        y = nn.gelu(y, approximate=False)         # timm uses exact-erf GELU
         y = nn.Dense(self.dim, name="fc2")(y)
         return x + gamma2 * y
 
@@ -113,7 +121,7 @@ class ViT(nn.Module):
     @nn.compact
     def __call__(self, x):
         """x: (B, H, W, 3), H/W multiples of patch_size.  Returns the hooked
-        token maps [(B, h, w, C)] in hook order."""
+        token sequences [(B, 1 + h*w, C)] (cls included) in hook order."""
         c = self.cfg
         B, H, W, _ = x.shape
         h, w = H // c.patch_size, W // c.patch_size
@@ -130,8 +138,25 @@ class ViT(nn.Module):
             x = Block(c.embed_dim, c.num_heads, c.mlp_ratio,
                       c.use_rel_pos_bias, name=f"block{i}")(x, (h, w))
             if i in c.hooks:
-                feats.append(x[:, 1:].reshape(B, h, w, c.embed_dim))
+                feats.append(x)
         return feats
+
+
+class ProjectReadout(nn.Module):
+    """MiDaS 'project' readout: concat each patch token with the cls token
+    and project 2C -> C with a GELU (midas ProjectReadout semantics)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, tokens):
+        cls = tokens[:, :1]
+        patches = tokens[:, 1:]
+        feat = jnp.concatenate(
+            [patches, jnp.broadcast_to(cls, patches.shape)], axis=-1
+        )
+        return nn.gelu(nn.Dense(self.dim, name="project")(feat),
+                       approximate=False)
 
 
 class ResidualConvUnit(nn.Module):
@@ -147,7 +172,27 @@ class ResidualConvUnit(nn.Module):
 
 
 def _resize(x, h, w):
-    return jax.image.resize(x, (x.shape[0], h, w, x.shape[-1]), "bilinear")
+    """Bilinear resize with align_corners=True semantics (NHWC).
+
+    All interpolations in the reference model graph (DPT fusion upsampling,
+    attractor/bin-center rescaling, conditioning maps) use torch
+    F.interpolate(..., align_corners=True); jax.image.resize implements only
+    half-pixel centers, so this hand-rolled gather version is used instead —
+    required for pretrained-weight output parity."""
+    B, H, W, C = x.shape
+    if (H, W) == (h, w):
+        return x
+    ys = jnp.linspace(0.0, H - 1.0, h) if h > 1 else jnp.zeros((1,))
+    xs = jnp.linspace(0.0, W - 1.0, w) if w > 1 else jnp.zeros((1,))
+    y0 = jnp.floor(ys).astype(jnp.int32)
+    x0 = jnp.floor(xs).astype(jnp.int32)
+    y1 = jnp.minimum(y0 + 1, H - 1)
+    x1 = jnp.minimum(x0 + 1, W - 1)
+    wy = (ys - y0)[None, :, None, None]
+    wx = (xs - x0)[None, None, :, None]
+    top = x[:, y0][:, :, x0] * (1 - wx) + x[:, y0][:, :, x1] * wx
+    bot = x[:, y1][:, :, x0] * (1 - wx) + x[:, y1][:, :, x1] * wx
+    return top * (1 - wy) + bot * wy
 
 
 class FusionBlock(nn.Module):
@@ -176,12 +221,27 @@ class DPT(nn.Module):
         feats = ViT(self.cfg, name="vit")(x)
         ph, pw = H // self.cfg.patch_size, W // self.cfg.patch_size
 
-        # reassemble to strides 4, 8, 16, 32
-        scales = (4.0, 2.0, 1.0, 0.5)
+        # reassemble to strides 4, 8, 16, 32 — the exact op sequence of the
+        # MiDaS act_postprocess blocks (readout, 1x1 project, then
+        # transposed-conv / identity / strided-conv resampling), so the
+        # pretrained DPT weights map one-to-one (models/convert.py)
         layers = []
-        for i, (f, ch, s) in enumerate(zip(feats, self.out_channels, scales)):
-            y = nn.Conv(ch, (1, 1), name=f"project{i}")(f)
-            y = _resize(y, int(ph * s), int(pw * s))
+        for i, (t, ch) in enumerate(zip(feats, self.out_channels)):
+            if self.cfg.readout == "project":
+                y = ProjectReadout(self.cfg.embed_dim, name=f"readout{i}")(t)
+            else:
+                y = t[:, 1:]
+            y = y.reshape(B, ph, pw, self.cfg.embed_dim)
+            y = nn.Conv(ch, (1, 1), name=f"project{i}")(y)
+            if i == 0:
+                y = nn.ConvTranspose(ch, (4, 4), strides=(4, 4),
+                                     name="resample0")(y)
+            elif i == 1:
+                y = nn.ConvTranspose(ch, (2, 2), strides=(2, 2),
+                                     name="resample1")(y)
+            elif i == 3:
+                y = nn.Conv(ch, (3, 3), strides=(2, 2), padding=1,
+                            name="resample3")(y)
             y = nn.Conv(self.features, (3, 3), padding=1,
                         use_bias=False, name=f"layer{i}_rn")(y)
             layers.append(y)

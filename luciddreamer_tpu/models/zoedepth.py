@@ -48,13 +48,16 @@ class ZoeDepthConfig:
     min_temp: float = 0.0212
     max_temp: float = 50.0
     midas_features: int = 256
+    out_channels: Sequence[int] = (256, 512, 1024, 1024)
     img_size: tuple[int, int] = (384, 512)
 
     @staticmethod
     def tiny():
         return ZoeDepthConfig(vit=VIT_TINY_TEST, n_bins=8,
                               bin_embedding_dim=16, n_attractors=(4, 2, 2, 1),
-                              midas_features=32, img_size=(64, 64))
+                              midas_features=32,
+                              out_channels=(16, 32, 64, 64),
+                              img_size=(64, 64))
 
 
 def inv_attractor(dx, alpha, gamma):
@@ -141,7 +144,7 @@ class ConditionalLogBinomial(nn.Module):
         feat = jnp.concatenate([x, cond], axis=-1)
         bott = feat.shape[-1] // self.bottleneck_factor
         y = nn.Conv(bott, (1, 1), name="mlp1")(feat)
-        y = nn.gelu(y)
+        y = nn.gelu(y, approximate=False)         # torch nn.GELU = exact erf
         y = nn.Conv(4, (1, 1), name="mlp2")(y)
         y = nn.softplus(y)
         p2, t2 = y[..., :2], y[..., 2:]
@@ -153,11 +156,12 @@ class ConditionalLogBinomial(nn.Module):
 
         K = self.n_classes
         k = jnp.arange(K, dtype=jnp.float32)
-        eps = 1e-4
-        p = jnp.clip(p, eps, 1.0 - eps)[..., None]
+        # clamp scheme and eps values match dist_layers.py:50-69 bit-for-bit
+        one_minus_p = jnp.clip(1.0 - p, 1e-4, 1.0)[..., None]
+        p = jnp.clip(p, 1e-4, 1.0)[..., None]
         t = t[..., None]
 
-        def log_binom(n, kk):
+        def log_binom(n, kk, eps=1e-7):
             n = n + eps
             kk = kk + eps
             return (n * jnp.log(n) - kk * jnp.log(kk)
@@ -166,7 +170,7 @@ class ConditionalLogBinomial(nn.Module):
         logits = (
             log_binom(jnp.float32(K - 1), k)
             + k * jnp.log(p)
-            + (K - 1 - k) * jnp.log(1.0 - p)
+            + (K - 1 - k) * jnp.log(one_minus_p)
         )
         return jax.nn.softmax(logits / t, axis=-1)        # (B, h, w, K)
 
@@ -184,6 +188,7 @@ class FlaxZoeDepth(nn.Module):
         # MiDaS normalization: mean/std 0.5 (midas.py:180-181)
         xin = (x - 0.5) / 0.5
         rel_depth, hooks = DPT(c.vit, features=c.midas_features,
+                               out_channels=tuple(c.out_channels),
                                name="core")(xin)
         out_conv, btlnck, r4, r3, r2, r1 = hooks
         x_blocks = (r4, r3, r2, r1)
@@ -210,8 +215,10 @@ class FlaxZoeDepth(nn.Module):
             c.n_bins, c.min_temp, c.max_temp,
             name="conditional_log_binomial")(last, emb_up)
 
+        # NB: the reference does NOT clip bin centers here (zoedepth_v1.py:
+        # 191-193) — softplus keeps them positive, min/max_depth only shape
+        # the seed normalization in the 'normed' variant
         centers_up = _resize(b_centers, probs.shape[1], probs.shape[2])
-        centers_up = jnp.clip(centers_up, c.min_depth, c.max_depth)
         depth = jnp.sum(probs * centers_up, axis=-1)       # (B, h', w')
         B, H, W, _ = x.shape
         depth = _resize(depth[..., None], H, W)[..., 0]

@@ -93,6 +93,7 @@ class FlaxZoeDepthNK(nn.Module):
         c = self.cfg
         xin = (x - 0.5) / 0.5
         rel_depth, hooks = DPT(c.vit, features=c.midas_features,
+                               out_channels=tuple(c.out_channels),
                                name="core")(xin)
         out_conv, btlnck, r4, r3, r2, r1 = hooks
         x_blocks = (r4, r3, r2, r1)

@@ -36,22 +36,25 @@ def preprocess_gaussians(
     scales = params.get_scaling()
     quats = params.get_rotation()
 
-    _hi = jax.lax.Precision.HIGHEST
+    # (..., 3) x (3, 3) products are unrolled elementwise: tiny-contraction
+    # dot_generals pad onto the MXU and cost ~5 ms each at 1M on v5e.
+    mx, my, mz = means[..., 0], means[..., 1], means[..., 2]
 
     # --- frustum cull: view-space z > 0.2 (auxiliary.h:139-164) ---
     vm = camera.viewmatrix
-    p_view_z = jnp.matmul(means, vm[2, :3], precision=_hi) + vm[2, 3]
+    p_view_z = vm[2, 0] * mx + vm[2, 1] * my + vm[2, 2] * mz + vm[2, 3]
     in_front = p_view_z > near_plane
 
     # --- projection (forward.cu:197-200) ---
     pm = camera.projmatrix
-    p_hom = jnp.matmul(means, pm[:3, :3].T, precision=_hi) + pm[:3, 3]  # xyz rows
-    p_w = jnp.matmul(means, pm[3, :3], precision=_hi) + pm[3, 3]
+    hom_x = pm[0, 0] * mx + pm[0, 1] * my + pm[0, 2] * mz + pm[0, 3]
+    hom_y = pm[1, 0] * mx + pm[1, 1] * my + pm[1, 2] * mz + pm[1, 3]
+    p_w = pm[3, 0] * mx + pm[3, 1] * my + pm[3, 2] * mz + pm[3, 3]
     # clamp like tz in project_cov3d_to_2d: culled rows (w ~ tz <= 0.2) must
     # not produce inf that NaNs masked gradients; visible rows unchanged
     inv_w = 1.0 / (jnp.maximum(p_w, 1e-3) + 1e-7)
-    ndc_x = p_hom[..., 0] * inv_w
-    ndc_y = p_hom[..., 1] * inv_w
+    ndc_x = hom_x * inv_w
+    ndc_y = hom_y * inv_w
     mean2d = jnp.stack(
         [ndc2pix(ndc_x, camera.width), ndc2pix(ndc_y, camera.height)], axis=-1
     )

@@ -63,7 +63,8 @@ def export_camera_json(name: str, path: str,
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     with open(path, "w") as f:
         json.dump(
-            {"camera_angle_x": camera_angle_x or fov, "frames": frames}, f
+            {"camera_angle_x": fov if camera_angle_x is None else camera_angle_x,
+             "frames": frames}, f
         )
     return path
 

@@ -150,13 +150,18 @@ def lookaround_tour(degsum: float = 60.0, pitchmax: float = 22.5) -> np.ndarray:
     top row left->right, down the right edge, middle row right->left, down
     the left edge, bottom row left->right.  Rotation-only poses.  This is
     the generator behind the shipped cameras/lookaround.json (406 frames),
-    distinct from the 21-pose ``lookaround`` dreaming preset."""
+    distinct from the 21-pose ``lookaround`` dreaming preset.
+
+    The edge legs descend in ``pitchmax/22``-degree steps (22 frames each),
+    matching the reference's hardcoded edge density; row length scales with
+    ``degsum`` (one frame per half degree)."""
     n = int(2 * degsum) + 1
+    ne = 22  # reference edge-leg frame count (one per ~1.02 deg at defaults)
     legs = [
         (np.linspace(-degsum, degsum, n), np.full(n, pitchmax)),
-        (np.full(22, degsum), np.linspace(pitchmax, 0, 23)[1:]),
+        (np.full(ne, degsum), np.linspace(pitchmax, 0, ne + 1)[1:]),
         (np.linspace(degsum, -degsum, n)[1:], np.zeros(n - 1)),
-        (np.full(22, -degsum), np.linspace(0, -pitchmax, 23)[1:]),
+        (np.full(ne, -degsum), np.linspace(0, -pitchmax, ne + 1)[1:]),
         (np.linspace(-degsum, degsum, n), np.full(n, -pitchmax)),
     ]
     th = np.concatenate([leg[0] for leg in legs])
