@@ -161,14 +161,21 @@ class ConditionalLogBinomial(nn.Module):
         p = jnp.clip(p, 1e-4, 1.0)[..., None]
         t = t[..., None]
 
-        def log_binom(n, kk, eps=1e-7):
-            n = n + eps
-            kk = kk + eps
-            return (n * jnp.log(n) - kk * jnp.log(kk)
-                    - (n - kk) * jnp.log(n - kk + eps))
+        # The log-binomial coefficient log C(K-1, k) is a compile-time
+        # constant; it is evaluated HOST-SIDE in float32 with the reference's
+        # exact op order (dist_layers.py:50-57).  Tracing it instead lets
+        # XLA's constant folder reassociate (n+eps)-(kk+eps)+eps -> n-kk,
+        # which is exactly 0 at k=K-1, yielding log(0)=-inf and 0*-inf=NaN
+        # for the whole distribution (observed on the CPU backend).
+        def log_binom_np(n, kk, eps=np.float32(1e-7)):
+            n = np.float32(n) + eps
+            kk = kk.astype(np.float32) + eps
+            return (n * np.log(n) - kk * np.log(kk)
+                    - (n - kk) * np.log(n - kk + eps)).astype(np.float32)
 
+        log_coef = jnp.asarray(log_binom_np(K - 1, np.arange(K)))
         logits = (
-            log_binom(jnp.float32(K - 1), k)
+            log_coef
             + k * jnp.log(p)
             + (K - 1 - k) * jnp.log(one_minus_p)
         )
