@@ -57,8 +57,14 @@ def _conv(sd, key):
 
 
 def _conv_t(sd, key):
+    # torch ConvTranspose2d is the gradient of a conv: it paints each input
+    # pixel's kxk output patch with the kernel in NATURAL order.  flax
+    # nn.ConvTranspose (transpose_kernel=False) does not reverse spatial
+    # dims, so the torch kernel must be flipped here or every upsample block
+    # is applied 180-degree rotated (verified empirically in
+    # tests/test_zoe_convert.py::test_conv_transpose_primitive).
     w = np.asarray(sd[f"{key}.weight"], np.float32)      # (I, O, kh, kw)
-    out = {"kernel": w.transpose(2, 3, 0, 1)}
+    out = {"kernel": np.ascontiguousarray(w.transpose(2, 3, 0, 1)[::-1, ::-1])}
     if f"{key}.bias" in sd:
         out["bias"] = np.asarray(sd[f"{key}.bias"], np.float32)
     return out
@@ -101,10 +107,14 @@ def _resize_rel_pos_table(table: np.ndarray, grid_hw: tuple[int, int]):
     g = grid.reshape(src, src, heads)
 
     def interp_axis(a, n_out, axis):
+        # half-pixel centers, matching torch F.interpolate(mode='bilinear')
+        # with its default align_corners=False — the convention MiDaS 3.1
+        # uses when resizing BEiT rel-pos tables to non-square grids
         n_in = a.shape[axis]
         if n_in == n_out:
             return a
-        pos = np.linspace(0, n_in - 1, n_out)
+        pos = np.clip((np.arange(n_out) + 0.5) * n_in / n_out - 0.5,
+                      0.0, n_in - 1.0)
         lo = np.floor(pos).astype(np.int64)
         hi = np.minimum(lo + 1, n_in - 1)
         t = (pos - lo).reshape([-1 if i == axis else 1 for i in range(a.ndim)])
@@ -237,7 +247,18 @@ def load_torch_state_dict(path: str) -> dict:
     """Read a torch .pt checkpoint into a plain {name: np.ndarray} dict."""
     import torch  # gated: only needed when actually loading .pt files
 
-    sd = torch.load(path, map_location="cpu", weights_only=False)
+    try:
+        # plain state-dict checkpoints (incl. ZoeD_N releases) load without
+        # unpickling arbitrary code
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        import warnings
+
+        warnings.warn(
+            f"{path}: not a weights-only checkpoint; falling back to full "
+            "unpickling (only do this for trusted files)"
+        )
+        sd = torch.load(path, map_location="cpu", weights_only=False)
     if isinstance(sd, dict) and "model" in sd and hasattr(
         sd["model"], "state_dict"
     ):
