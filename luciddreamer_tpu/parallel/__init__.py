@@ -6,8 +6,10 @@ from luciddreamer_tpu.parallel.sharded import (
     sharded_train_step,
     sharded_train_step_batch,
 )
+from luciddreamer_tpu.parallel.trainer import ShardedTrainer
 
 __all__ = [
+    "ShardedTrainer",
     "make_mesh",
     "render_sharded",
     "render_sharded_batch",

@@ -263,11 +263,19 @@ def render_sharded_batch(
 
 
 def sharded_train_step_batch(state, cam_batch, gt_batch, bg, mesh,
-                             cfg: GSConfig, extent: float, **render_kw):
+                             cfg: GSConfig, extent: float,
+                             gt_depth_batch=None, **render_kw):
     """Full dp x tiles training step over a camera batch of size
     mesh.shape['data'].  Gradients from every (camera, tile-band) shard are
     all-reduced by XLA in shard_map's backward; the update itself runs
-    replicated.  Jit under the mesh."""
+    replicated.  Jit under the mesh.
+
+    Exactly like the single-device ``Trainer._step``, an update computed
+    from a truncated pair list is NEVER committed: on overflow the whole
+    state update (params, adam, stats, step) is voided device-side and the
+    host re-runs the iteration after growing pair_cap (train/loop.py:151-169
+    discipline; the reference never drops pairs, rasterize_points.cu:27-33).
+    """
     from luciddreamer_tpu.model.gaussians import add_densification_stats
     from luciddreamer_tpu.model.optim import adam_update, learning_rates
     from luciddreamer_tpu.train.loop import TrainState, sh_band_mask
@@ -288,6 +296,12 @@ def sharded_train_step_batch(state, cam_batch, gt_batch, bg, mesh,
         ll1 = l1_loss(img, gt_batch)
         dssim = 1.0 - jnp.mean(jax.vmap(ssim)(img, gt_batch))
         loss = (1.0 - cfg.lambda_dssim) * ll1 + cfg.lambda_dssim * dssim
+        if cfg.lambda_depth > 0.0 and gt_depth_batch is not None:
+            dmask = (gt_depth_batch > 0) & (out["depth"] > 0)
+            dl = jnp.sum(jnp.abs(out["depth"] - gt_depth_batch) * dmask) / (
+                jnp.sum(dmask) + 1e-8
+            )
+            loss = loss + cfg.lambda_depth * dl
         return loss, out
 
     pdict = params.param_pytree()
@@ -299,15 +313,22 @@ def sharded_train_step_batch(state, cam_batch, gt_batch, bg, mesh,
     lrs = learning_rates(cfg, extent, it - 1)
     new_pdict, adam = adam_update(pdict, grads, state.adam, lrs)
     stats = add_densification_stats(state.stats, g2d, out["radii"])
+
+    ovf = out["overflow"]
+    gate = lambda new, old: jax.tree.map(
+        lambda a, b: jnp.where(ovf, b, a), new, old
+    )
     return (
         TrainState(
-            params=GaussianParams.from_param_pytree(new_pdict, params.alive),
-            adam=adam,
-            stats=stats,
-            step=it,
+            params=GaussianParams.from_param_pytree(
+                gate(new_pdict, pdict), params.alive
+            ),
+            adam=gate(adam, state.adam),
+            stats=gate(stats, state.stats),
+            step=jnp.where(ovf, state.step, it),
         ),
         loss,
-        out["overflow"],
+        ovf,
     )
 
 

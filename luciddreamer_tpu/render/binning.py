@@ -2,39 +2,50 @@
 segment metadata for the blend walk.
 
 The XLA-native replacement for the reference's CUB prefix-sum + 64-bit radix
-sort pipeline (rasterizer_impl.cu:68-138,276-319).  Redesigned (round 3)
-around a TPU cost model measured on v5e at 4M pairs (tools/profile_binning4):
+sort pipeline (rasterizer_impl.cu:68-138,276-319).  Redesigned again in
+round 4 around the refined v5e cost model (tools/profile_r4b, after
+subtracting the ~25 ms axon dispatch overhead the raw numbers carry):
 
-    lax.sort             ~2.4 ms per carried operand
-    cumsum               <1 ms even at (4M, 16)
+    lax.sort @3.4M       ~3-5 ms base + ~1 ms per extra carried operand
+    cumsum / cummax      ~1 ms even at (4M, 16)
     elementwise          ~free
-    random row gather    ~20 ms REGARDLESS of row width (per-lookup bound)
-    scatter              ~19 ms (int32) .. ~100 ms (rows)
+    random row gather    ~20 ms at 3.4M lookups (per-lookup bound: width
+                         and index monotonicity do NOT matter)
+    scalar scatter-add   ~2-5 ms at 1M updates; row scatter ~100 ms
 
-so the design keeps exactly TWO pair-scale gathers (the expansion row
-gather and the final attribute gather), moves everything else through
-sorts/cumsums, and drops the round-2 chunk-padded packing entirely:
+Since a sort operand costs ~1 ms but a pair-scale gather costs ~20 ms, the
+round-4 design carries the attribute channels THROUGH the pair sort and
+keeps exactly ONE pair-scale gather in the forward and ONE in the backward:
 
-1. per-gaussian attributes live in ONE (P+1, 16) table (row P is an all-zero
-   sentinel with valid=0);
+1. per-gaussian data lives in ONE (P+1, 16) row table: 11 attribute
+   channels (mean2d, conic, opacity, rgb, depth, valid) + 3 expansion
+   channels (depth rank, packed rect corner, rect width — int32 bitcast
+   into f32 lanes);
 2. a P-scale double sort assigns every gaussian a *depth rank* (order by
    (depth_bits, index) — depth keys are raw IEEE-754 bits viewed as int,
    bit order == value order for positive floats, the exact trick the
    reference radix keys rely on, rasterizer_impl.cu:102-104; the index
    tie-break reproduces its stable radix order);
-3. pair expansion: one P-scale mark scatter + cumsum recovers each slot's
-   owner, one pair-scale row gather fetches (offset, rank, rect) per slot;
+3. pair expansion: a P-scale mark scatter + pair-scale cumsum recovers each
+   slot's owner gaussian, a cummax over marked slot indices recovers the
+   owner's first slot (no offsets lookup needed), and ONE pair-scale row
+   gather ``table[g]`` fetches everything else;
 4. ONE single-key pair sort over the fused uint32 key
    ``tile << RANK_BITS | rank`` (falls back to a (tile, rank) 2-key sort
-   when the bit budget doesn't fit), carrying (gaussian id, slot);
+   when the bit budget doesn't fit), carrying the 11 attribute channels and
+   the slot id (13 operands ~ 16 ms, vs 20 ms for the post-sort gather it
+   replaces plus 6 ms for the inverse-permutation sort it makes redundant);
 5. per-tile [start, end) ranges via binary search over the sorted keys;
 6. NO packed/padded copy: the blend kernels walk the sorted pair stream
    directly, driven by SEGMENT metadata (chunk, tile, row range, k0) —
    at most num_tiles + num_chunks + 1 segments, built from small arrays;
-7. sorted attrs come from one row gather ``table[g_s]`` wrapped in a custom
-   VJP whose backward is gather-to-slot-order + cumsum-difference segment
-   sums — the deterministic replacement for the reference backward's
-   atomicAdd (backward.cu:537,574-583) with no scatter-add anywhere.
+7. the custom VJP re-sorts the cotangent rows by slot id (pairs of one
+   gaussian are contiguous in slot order), prefix-sums once, and takes
+   per-gaussian cumsum differences with ONE boundary gather at the P+1
+   exclusive offsets (offsets[i+1] == offsets[i] + counts[i], so adjacent
+   differences of a single gather give every per-gaussian sum, zero-count
+   rows included) — the deterministic replacement for the reference
+   backward's atomicAdd (backward.cu:537,574-583) with no row scatter.
 
 Static capacity ``pair_cap`` replaces the reference's device-side buffer
 resizing (rasterizer_impl.cu:281-282); overflow is reported for host-side
@@ -104,52 +115,128 @@ def gaussian_attr_table(proc: ProcessedGaussians) -> jax.Array:
     return jnp.concatenate([table, jnp.zeros((1, ATTR_DIM), jnp.float32)])
 
 
-@jax.custom_vjp
-def sorted_gather(table, g_s, slot2sorted, offsets, counts, total):
-    """attrs = table[g_s] with a scatter-free backward.
+# expansion channels of the combined row table (int32 carried in f32 lanes)
+E_RANK, E_RECT, E_RW = 11, 12, 13
+N_GRAD_CH = 10         # attr channels 0..9 carry gradient (valid does not)
 
-    The VJP of a plain gather is an XLA scatter-add (~420 ms at 4M x 16 on
-    v5e).  Here the cotangent is instead (a) gathered back to *slot order*
-    (pairs of one gaussian are contiguous slots by construction of the
-    expansion), (b) masked to the live range, (c) prefix-summed once, and
-    (d) segment-reduced by cumsum-difference at the per-gaussian slot
-    ranges.  Deterministic, like every JAX reduction — this is the role
-    atomicAdd plays in the reference backward (backward.cu:537,574-583).
+# Integers ride in f32 lanes with the 2.0 exponent OR-ed into the bits, so
+# every encoded value is a NORMAL float in [2, 4): raw bitcasts of small
+# ints are denormals, which TPU data movement flushes to zero (verified on
+# v5e — a plain bitcast+gather round trip corrupts the values).  Values must
+# stay below 2^23 (the mantissa width).
+_EXP_BIAS = 0x40000000
+
+
+def _encode_i32(v):
+    return jax.lax.bitcast_convert_type(
+        v.astype(jnp.int32) | _EXP_BIAS, jnp.float32
+    )
+
+
+def _decode_i32(f):
+    return jax.lax.bitcast_convert_type(f, jnp.int32) & 0x007FFFFF
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _expand_sort(ctable, g, owner_start, offsets_p1, total,
+                 grid_x, num_tiles, rank_bits):
+    """Expand (gaussian, tile) pairs and sort them into (tile, depth-rank)
+    order, carrying the attribute channels through the sort.
+
+    ``ctable`` (P+1, 16): 11 f32 attribute channels + 3 int32-bitcast
+    expansion channels (depth rank, packed rect corner, rect width); row P
+    is the zero sentinel.  ``g`` (pair_cap,) is each slot's owner gaussian,
+    ``owner_start`` its first slot.  Returns (attrs_sorted, key_s, slot_s).
+    ``rank_bits`` > 0 selects the fused single-key sort; 0 falls back to a
+    2-key (tile, rank) sort (then key_s is the sorted tile id).
+
+    The custom VJP replaces the sort+gather transpose XLA would emit with
+    (a) a re-sort of the cotangent rows by slot id — pairs of one gaussian
+    are contiguous in slot order, (b) one prefix sum, and (c) adjacent
+    differences of ONE boundary gather at the P+1 exclusive offsets.
+    Deterministic, like every JAX reduction — this is the role atomicAdd
+    plays in the reference backward (backward.cu:537,574-583).
     """
-    del slot2sorted, offsets, counts, total
-    return table[g_s]
+    out, _ = _expand_sort_fwd(ctable, g, owner_start, offsets_p1, total,
+                              grid_x, num_tiles, rank_bits)
+    return out
 
 
-def _sorted_gather_fwd(table, g_s, slot2sorted, offsets, counts, total):
-    return table[g_s], (g_s, slot2sorted, offsets, counts, total)
+def _expand_sort_fwd(ctable, g, owner_start, offsets_p1, total,
+                     grid_x, num_tiles, rank_bits):
+    pair_cap = g.shape[0]
+    row = ctable[g]                              # ONE pair-scale gather
+    rank = _decode_i32(row[:, E_RANK])
+    rect = _decode_i32(row[:, E_RECT])
+    rw = jnp.maximum(_decode_i32(row[:, E_RW]), 1)
+
+    slot = jnp.arange(pair_cap, dtype=jnp.int32)
+    valid = slot < total
+    local = slot - owner_start
+    tx = (rect & 0xFFF) + local % rw
+    ty = (rect >> 12) + local // rw
+    tile = jnp.where(valid, ty * grid_x + tx, num_tiles)
+    attr_cols = [
+        jnp.where(valid, row[:, i], 0.0) for i in range(ATTR_DIM - 5)
+    ]
+
+    if rank_bits > 0:
+        key = (tile.astype(jnp.uint32) << rank_bits) | jnp.where(
+            valid, rank, 0
+        ).astype(jnp.uint32)
+        out = jax.lax.sort((key, *attr_cols, slot), num_keys=1,
+                           is_stable=False)
+        key_s, cols_s, slot_s = out[0], out[1:-1], out[-1]
+    else:
+        rank_m = jnp.where(valid, rank, 0)
+        out = jax.lax.sort((tile, rank_m, *attr_cols, slot), num_keys=2,
+                           is_stable=False)
+        key_s, cols_s, slot_s = out[0], out[2:-1], out[-1]
+
+    attrs = jnp.stack(cols_s, axis=-1)
+    attrs = jnp.concatenate(
+        [attrs, jnp.zeros((pair_cap, 5), jnp.float32)], axis=-1
+    )
+    return (attrs, key_s, slot_s), (slot_s, offsets_p1, total,
+                                    ctable.shape[0])
 
 
-def _sorted_gather_bwd(res, d):
-    g_s, slot2sorted, offsets, counts, total = res
-    pair_cap = g_s.shape[0]
-    # (a) cotangent rows in slot order
-    d_slot = jnp.take(d, slot2sorted, axis=0, mode="fill", fill_value=0.0)
-    # (b) rows past the live pair range are garbage (the Pallas backward
-    # never writes chunks beyond the last live segment) — zero them here so
-    # the prefix sums below stay clean
+def _expand_sort_bwd(grid_x, num_tiles, rank_bits, res, d):
+    slot_s, offsets_p1, total, p1 = res
+    d_attrs, _, _ = d
+    pair_cap = slot_s.shape[0]
+    # (a) cotangent rows back to slot order: slot_s is a permutation of
+    # [0, pair_cap), so one sort keyed on it inverts the pair sort
+    d_cols = [d_attrs[:, i] for i in range(N_GRAD_CH)]
+    out = jax.lax.sort((slot_s, *d_cols), num_keys=1, is_stable=False)
+    d_slot = jnp.stack(out[1:], axis=-1)         # (pair_cap, N_GRAD_CH)
+    # (b) rows past the live range are garbage (the Pallas backward never
+    # writes chunks beyond the last live segment)
     live = jnp.arange(pair_cap, dtype=jnp.int32) < total
     d_slot = jnp.where(live[:, None], d_slot, 0.0)
-    # (c) one prefix sum over all pair slots
     cs = jnp.cumsum(d_slot, axis=0)
-    cs = jnp.concatenate([jnp.zeros((1, d.shape[1]), d.dtype), cs], axis=0)
-    # (d) per-gaussian segment sums = cs[end] - cs[start]
-    lo = jnp.clip(offsets, 0, pair_cap)
-    hi = jnp.clip(offsets + counts, 0, pair_cap)
-    d_rows = cs[hi] - cs[lo]
-    d_table = jnp.concatenate(
-        [d_rows, jnp.zeros((1, d.shape[1]), d.dtype)], axis=0
+    cs = jnp.concatenate(
+        [jnp.zeros((1, N_GRAD_CH), d_slot.dtype), cs], axis=0
+    )
+    # (c) ONE boundary gather: offsets_p1[i+1] == offsets_p1[i] + counts[i],
+    # so adjacent differences give every per-gaussian sum (zero-count rows
+    # difference to exactly 0)
+    csb = cs[jnp.clip(offsets_p1, 0, pair_cap)]  # (P+1, N_GRAD_CH)
+    d_rows = csb[1:] - csb[:-1]                  # (P, N_GRAD_CH)
+    d_ctable = jnp.concatenate(
+        [d_rows, jnp.zeros((p1 - 1, ATTR_DIM - N_GRAD_CH), d_rows.dtype)],
+        axis=-1,
+    )
+    d_ctable = jnp.concatenate(
+        [d_ctable, jnp.zeros((1, ATTR_DIM), d_rows.dtype)], axis=0
     )
     zint = lambda x: np.zeros(x.shape, jax.dtypes.float0)
-    return (d_table, zint(g_s), zint(slot2sorted), zint(offsets),
-            zint(counts), zint(total))
+    return (d_ctable, zint(jnp.zeros(pair_cap, jnp.int32)),
+            zint(jnp.zeros(pair_cap, jnp.int32)), zint(offsets_p1),
+            zint(total))
 
 
-sorted_gather.defvjp(_sorted_gather_fwd, _sorted_gather_bwd)
+_expand_sort.defvjp(_expand_sort_fwd, _expand_sort_bwd)
 
 
 def _ceil_log2(n: int) -> int:
@@ -169,6 +256,11 @@ def build_tile_bins(
     grid_x, grid_y = num_tiles_for(height, width, tile_size)
     num_tiles = grid_x * grid_y
     P = proc.depth.shape[0]
+    if P >= (1 << 23) or grid_x >= (1 << 12) or grid_y >= (1 << 11):
+        raise ValueError(
+            f"binning encode budget exceeded: P={P} (< 2^23), "
+            f"grid=({grid_x},{grid_y}) (< 4096 x 2048)"
+        )
     pair_cap = ((pair_cap + chunk - 1) // chunk) * chunk   # chunk-align
     n_chunks = pair_cap // chunk
 
@@ -176,6 +268,7 @@ def build_tile_bins(
     cum = jnp.cumsum(counts)
     total = cum[-1]
     offsets = cum - counts                                   # exclusive
+    offsets_p1 = jnp.concatenate([jnp.zeros((1,), jnp.int32), cum])
 
     depth_bits = jax.lax.bitcast_convert_type(
         jax.lax.stop_gradient(proc.depth), jnp.int32
@@ -188,66 +281,56 @@ def build_tile_bins(
     _, perm = jax.lax.sort((depth_bits, iota_p), num_keys=2, is_stable=False)
     _, rank_of = jax.lax.sort((perm, iota_p), num_keys=1, is_stable=False)
 
-    # ---- pair expansion: owner gaussian per slot via mark scatter + cumsum
-    # (the only pair-scale scatter left), then ONE packed row gather for the
-    # per-gaussian expansion data
-    gtab = jnp.stack(
+    # ---- combined row table: 11 attr channels + 3 int expansion channels
+    # (exponent-biased, see _encode_i32).  Packing budget: tile x < 2^12,
+    # tile y < 2^11, so images up to 65536 x 32768 px at tile_size 16.
+    sg = jax.lax.stop_gradient
+    fbits = lambda x: sg(_encode_i32(x))
+    rect_packed = proc.rect_min[:, 0] | (proc.rect_min[:, 1] << 12)
+    rect_w = jnp.maximum(proc.rect_max[:, 0] - proc.rect_min[:, 0], 1)
+    attr_table = gaussian_attr_table(proc)                   # (P+1, 16)
+    pad1 = lambda c: jnp.concatenate([c, jnp.zeros((1,), c.dtype)])
+    ctable = jnp.concatenate(
         [
-            offsets,
-            rank_of,
-            proc.rect_min[:, 0] | (proc.rect_min[:, 1] << 16),
-            jnp.maximum(proc.rect_max[:, 0] - proc.rect_min[:, 0], 1),
+            attr_table[:, : ATTR_DIM - 5],
+            jnp.stack(
+                [pad1(fbits(rank_of)), pad1(fbits(rect_packed)),
+                 pad1(fbits(rect_w))],
+                axis=-1,
+            ),
+            jnp.zeros((P + 1, 2), jnp.float32),
         ],
         axis=-1,
     )
+
+    # ---- pair expansion indices: owner gaussian per slot via mark scatter +
+    # cumsum; owner's first slot via cummax over marked slot ids (no offsets
+    # lookup).  offsets[0] == 0, so slot 0 is always marked.
     marks = jnp.zeros((pair_cap,), jnp.int32).at[offsets].add(1, mode="drop")
     g = jnp.clip(jnp.cumsum(marks) - 1, 0, P - 1)
     slot = jnp.arange(pair_cap, dtype=jnp.int32)
-    slot_valid = slot < total
+    owner_start = jax.lax.cummax(jnp.where(marks > 0, slot, 0))
 
-    row = gtab[g]                                            # (pair_cap, 4)
-    local = slot - row[:, 0]
-    rw = row[:, 3]
-    tx = (row[:, 2] & 0xFFFF) + local % rw
-    ty = (row[:, 2] >> 16) + local // rw
-    tile = jnp.where(slot_valid, ty * grid_x + tx, num_tiles)
-    rank = row[:, 1]
-    g_v = jnp.where(slot_valid, g, P)
-
-    # ---- ONE pair sort.  Order (tile, rank) == the reference's stable
-    # radix order over (tileID, depth_bits) with index tie-breaks.
+    # ---- ONE pair sort carrying the attribute lanes.  Order (tile, rank)
+    # == the reference's stable radix order over (tileID, depth_bits) with
+    # index tie-breaks.
     rank_bits = _ceil_log2(P)
     tile_bits = _ceil_log2(num_tiles + 1)
-    if rank_bits + tile_bits <= 32:
-        key = (tile.astype(jnp.uint32) << rank_bits) | jnp.where(
-            slot_valid, rank, 0
-        ).astype(jnp.uint32)
-        key_s, g_s, slot_s = jax.lax.sort(
-            (key, g_v, slot), num_keys=1, is_stable=False
-        )
-        bounds = (
-            jnp.arange(num_tiles + 1, dtype=jnp.uint32) << rank_bits
-        )
-        edges = jnp.searchsorted(key_s, bounds, side="left").astype(jnp.int32)
+    if rank_bits + tile_bits > 32:
+        rank_bits = 0                              # 2-key fallback
+    attrs, key_s, _slot_s = _expand_sort(
+        ctable, g, owner_start, offsets_p1, total,
+        grid_x, num_tiles, rank_bits,
+    )
+    if rank_bits > 0:
+        bounds = jnp.arange(num_tiles + 1, dtype=jnp.uint32) << rank_bits
     else:
-        tile_s, _, g_s, slot_s = jax.lax.sort(
-            (tile, rank, g_v, slot), num_keys=2, is_stable=False
-        )
-        edges = jnp.searchsorted(
-            tile_s, jnp.arange(num_tiles + 1, dtype=jnp.int32), side="left"
-        ).astype(jnp.int32)
+        bounds = jnp.arange(num_tiles + 1, dtype=jnp.int32)
+    edges = jnp.searchsorted(
+        jax.lax.stop_gradient(key_s), bounds, side="left"
+    ).astype(jnp.int32)
     tile_start = edges[:num_tiles]
     tile_end = edges[1:]
-
-    # original slot -> sorted position (for the backward's re-gather):
-    # slot_s is a permutation of [0, pair_cap), so sorting (slot_s, j)
-    # yields the inverse directly — a sort (~6 ms at 4M) instead of a
-    # random int32 scatter (~19 ms)
-    _, slot2sorted = jax.lax.sort((slot_s, slot), num_keys=1, is_stable=False)
-
-    attrs = sorted_gather(
-        gaussian_attr_table(proc), g_s, slot2sorted, offsets, counts, total
-    )
 
     # ---- segment metadata (all small arrays: num_tiles + n_chunks + 1).
     # Tile-first segments: tile t's rows from its start to the next chunk

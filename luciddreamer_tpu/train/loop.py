@@ -294,7 +294,11 @@ class Trainer:
                     self.state = self._reset_fn(self.state)
 
             if callback is not None:
-                callback(it, self.state, float(loss))
+                # the loss is passed as the DEVICE scalar: float()-ing it
+                # here would block on the device every iteration and defeat
+                # the one-step-lag overflow discipline above.  Callbacks that
+                # want the value pay for the sync explicitly.
+                callback(it, self.state, loss)
 
         # flush the trailing overflow flag: if the final step overflowed it
         # was a no-op, so grow and re-run until a clean update lands

@@ -85,6 +85,93 @@ def test_sharded_grads_match_unsharded(rng):
                                    err_msg=name)
 
 
+def test_sharded_trainer_matches_single_device(rng):
+    """data=1 x tiles=8 ShardedTrainer must track the single-device Trainer
+    step for step on the same seed (same camera sequence, same densify keys);
+    only shard reduction order may differ."""
+    import jax.numpy as jnp
+    from luciddreamer_tpu.model.gaussians import create_from_pcd
+    from luciddreamer_tpu.parallel import ShardedTrainer
+
+    pts = rng.normal(size=(48, 3)) * 0.5 + [0, 0, 3.0]
+    cols = rng.uniform(0.1, 0.9, size=(48, 3))
+    params = create_from_pcd(jnp.asarray(pts), jnp.asarray(cols), capacity=128)
+    cams = [_cam(64, 128, dx) for dx in (-0.2, 0.0, 0.2)]
+    bg = jnp.zeros(3)
+    target = make_random_gaussians(60, rng, scale_range=(-3.0, -1.5))
+    views = [
+        (c, render_tiled(target, c, bg, active_sh_degree=3)["render"])
+        for c in cams
+    ]
+
+    cfg = GSConfig(
+        iterations=40, densification_interval=10, densify_from_iter=10,
+        position_lr_max_steps=40, densify_grad_threshold=1e-5,
+    )
+    mesh = make_mesh(data=1, tiles=8)
+    # both step functions donate their state, so each trainer needs its own
+    # copy of the parameter buffers
+    p1 = jax.tree.map(jnp.copy, params)
+    p2 = jax.tree.map(jnp.copy, params)
+    tr_ref = Trainer(p1, cfg, cameras_extent=1.0, seed=0,
+                     pair_cap=4096, backend="xla", chunk=64)
+    tr_sh = ShardedTrainer(p2, cfg, cameras_extent=1.0, mesh=mesh,
+                           seed=0, pair_cap=4096, backend="xla", chunk=64)
+    st_ref = tr_ref.run(views)
+    st_sh = tr_sh.run(views)
+
+    assert int(st_sh.step) == int(st_ref.step) == 40
+    # no pair-cap growth fired (which would desynchronize the two rng
+    # streams); densify-capacity overflow is fine — it hits both trainers
+    # identically on the same key sequence
+    assert tr_sh.pair_cap == tr_ref.pair_cap == 4096
+    np.testing.assert_array_equal(np.asarray(st_sh.params.alive),
+                                  np.asarray(st_ref.params.alive))
+    a_ref = np.asarray(st_ref.params.xyz)
+    a_sh = np.asarray(st_sh.params.xyz)
+    np.testing.assert_allclose(a_sh, a_ref, atol=2e-4)
+
+
+def test_sharded_trainer_long_run_densifies_and_converges(rng):
+    """2x4 mesh, 200 iterations: densification fires, loss drops, overflow
+    growth protocol exercised via a deliberately tight initial pair_cap."""
+    import jax.numpy as jnp
+    from luciddreamer_tpu.model.gaussians import create_from_pcd
+    from luciddreamer_tpu.parallel import ShardedTrainer
+
+    pts = rng.normal(size=(48, 3)) * 0.5 + [0, 0, 3.0]
+    cols = rng.uniform(0.1, 0.9, size=(48, 3))
+    params = create_from_pcd(jnp.asarray(pts), jnp.asarray(cols), capacity=256)
+    cams = [_cam(64, 64, dx) for dx in (-0.2, 0.0, 0.2)]
+    bg = jnp.zeros(3)
+    target = make_random_gaussians(60, rng, scale_range=(-3.0, -1.5))
+    views = [
+        (c, render_tiled(target, c, bg, active_sh_degree=3)["render"])
+        for c in cams
+    ]
+
+    cfg = GSConfig(
+        iterations=200, densification_interval=50, densify_from_iter=50,
+        position_lr_max_steps=200, densify_grad_threshold=1e-5,
+    )
+    mesh = make_mesh(data=2, tiles=4)
+    tr = ShardedTrainer(params, cfg, cameras_extent=1.0, mesh=mesh, seed=0,
+                        pair_cap=64, backend="xla", chunk=32)
+    losses = []
+    st = tr.run(views, callback=lambda it, s, l: losses.append(l))
+    losses = np.asarray([float(l) for l in losses])
+
+    assert int(st.step) == 200
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-20:]) < 0.7 * np.mean(losses[:10]), (
+        np.mean(losses[:10]), np.mean(losses[-20:])
+    )
+    # densification changed the population
+    assert int(st.params.num_alive) != 48
+    # the tight initial cap must have grown through the overflow protocol
+    assert tr.pair_cap > 64 and tr.last_overflow
+
+
 def test_dp_tiles_train_step(rng):
     """2 data x 4 tiles mesh: one full training step, grads vs single-dev."""
     params = make_random_gaussians(60, rng, scale_range=(-3.0, -1.5))
