@@ -5,13 +5,31 @@ The reference publishes no perf numbers (BASELINE.md), so vs_baseline is
 reported against the driver-defined north star rather than a published
 figure; it is set to the ratio vs this repo's first recorded number so
 progress across rounds is visible.
+
+Measurement protocol: ONE jitted fwd+bwd step, dispatched K times
+back-to-back with a data dependency between steps and a single host pull at
+the end — the steady-state production pattern (Trainer.run never host-syncs
+per iteration; it resolves overflow flags with a one-step lag, so the
+device queue stays full).  Per-step time = (t_K2 - t_K1) / (K2 - K1), which
+cancels the one-off host round-trip of the TPU tunnel (~25 ms) without
+inflating compile time.  The render is validated non-overflowing at the
+benchmarked pair capacity before timing: a truncated pair list would
+silently drop work and inflate rays/s.
 """
 import json
+import os
 import time
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+# reuse compiled executables across runs (the fwd+bwd graph takes minutes to
+# compile cold on the axon tunnel; the cache makes driver reruns instant)
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp"),
+)
 
 
 # First TPU-v5e-chip measurement of this repo (round 1, XLA-sort binning +
@@ -46,24 +64,36 @@ def main():
         p = GaussianParams.from_param_pytree(pdict, params.alive)
         out = render_tiled(p, cam, bg, active_sh_degree=3, chunk=128,
                            pair_cap=pair_cap, backend=backend)
-        return jnp.mean(jnp.abs(out["render"] - 0.5)) + 0.1 * jnp.mean(out["depth"])
+        l = (jnp.mean(jnp.abs(out["render"] - 0.5))
+             + 0.1 * jnp.mean(out["depth"]))
+        return l, out["overflow"]
 
-    # reduce the grad pytree to one scalar inside jit and pull it to host
-    # each rep: on the axon TPU tunnel, block_until_ready alone has been
-    # observed NOT to actually wait, so a device->host transfer is the only
-    # trustworthy fence
-    def gsum(pdict):
-        gr = jax.grad(loss)(pdict)
-        return sum(jnp.sum(v) for v in jax.tree.leaves(gr))
+    def gstep(pdict, s):
+        gr, ovf = jax.grad(loss, has_aux=True)(
+            dict(pdict, xyz=pdict["xyz"] + s * 1e-30)
+        )
+        return sum(jnp.sum(v) for v in jax.tree.leaves(gr)), ovf
 
-    g = jax.jit(gsum)
     pdict = params.param_pytree()
-    float(g(pdict))                          # compile + warm
-    reps = 5
-    t0 = time.time()
-    for _ in range(reps):
-        float(g(pdict))
-    dt = (time.time() - t0) / reps
+    step = jax.jit(gstep)
+    _, ovf = step(pdict, jnp.float32(0))   # compile + warm
+    # the benchmarked capacity must hold every pair or rays/s is inflated
+    assert not bool(ovf), f"pair_cap {pair_cap} overflowed; benchmark invalid"
+
+    def best(k, reps=3):
+        b = 1e9
+        for _ in range(reps):
+            t0 = time.time()
+            s = jnp.float32(0)
+            for _ in range(k):
+                s, _ = step(pdict, s)
+            float(s)
+            b = min(b, time.time() - t0)
+        return b
+
+    K1, K2 = 1, 10
+    t1, t2 = best(K1), best(K2)
+    dt = (t2 - t1) / (K2 - K1)
     rays_per_s = H * W / dt
     print(json.dumps({
         "metric": "rays_per_s_fwd_bwd_1M_gaussians_512px",
