@@ -40,6 +40,21 @@ class TrainView:
     camera: Camera
     image: np.ndarray
     depth: np.ndarray | None = None
+    _canny: np.ndarray | None = None
+
+    @property
+    def canny_mask(self):
+        """(H, W) float32 inverse-Canny mask of the gt image, lazily
+        computed with the reference's per-camera parameters
+        (scene/cameras.py:42-43: thresholds (50, 150), isEdge1=False)."""
+        if self._canny is None:
+            from luciddreamer_tpu.train.losses import image2canny
+
+            hwc = np.asarray(self.image).transpose(1, 2, 0)
+            object.__setattr__(
+                self, "_canny", image2canny(hwc, 50, 150, isEdge1=False)
+            )
+        return self._canny
 
 
 def _frame_to_camera(transform_matrix, fovx, fovy, W, H) -> Camera:

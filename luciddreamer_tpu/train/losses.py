@@ -10,6 +10,7 @@ from __future__ import annotations
 import functools
 import math
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -102,10 +103,81 @@ def near_mean_map(array, mask, kernelsize: int = 3):
     return num / (cnt + 1e-8)
 
 
+def image2canny(image, thres1, thres2, isEdge1: bool = True):
+    """Canny edge mask of an (H, W, 3) image in [0, 1] -> (H, W) float32.
+
+    Port of the reference's cv2.Canny wrapper (utils/loss.py:74-79;
+    computed per camera at scene/cameras.py:43 with (50, 150, isEdge1=False)
+    and stored, though its training loss never consumes it).  Re-implemented
+    from the Canny algorithm in numpy — no OpenCV dependency:
+
+    * 3x3 Sobel per channel on the 0..255 intensity scale, per-pixel
+      gradient taken from the channel with the largest L1 magnitude
+      (cv2's multi-channel behavior, default L2gradient=False);
+    * non-maximum suppression with 4-sector direction quantization;
+    * double threshold + 8-connected hysteresis iterated to fixpoint.
+
+    Thresholds are on the cv2 scale (image * 255 gradients).
+    """
+    img = np.asarray(image, np.float32)
+    if img.ndim == 2:
+        img = img[..., None]
+    img = np.rint(img * 255.0).astype(np.float32)        # cv2 uint8 scale
+    H, W, C = img.shape
+    pad = np.pad(img, ((1, 1), (1, 1), (0, 0)), mode="edge")
+
+    kx = np.array([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], np.float32)
+    ky = np.array([[-1, -2, -1], [0, 0, 0], [1, 2, 1]], np.float32)
+    gx = np.zeros((H, W, C), np.float32)
+    gy = np.zeros((H, W, C), np.float32)
+    for dy in range(3):
+        for dx in range(3):
+            sl = pad[dy : dy + H, dx : dx + W]
+            gx += kx[dy, dx] * sl
+            gy += ky[dy, dx] * sl
+    mag_c = np.abs(gx) + np.abs(gy)                      # L1, per channel
+    pick = np.argmax(mag_c, axis=-1)
+    ii, jj = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    gx = gx[ii, jj, pick]
+    gy = gy[ii, jj, pick]
+    mag = np.abs(gx) + np.abs(gy)
+
+    # non-maximum suppression: quantize direction into 4 sectors
+    ang = np.arctan2(gy, gx) % np.pi                     # [0, pi)
+    sector = ((ang + np.pi / 8) // (np.pi / 4)).astype(np.int32) % 4
+    offs = {0: (0, 1), 1: (1, 1), 2: (1, 0), 3: (1, -1)}
+    magp = np.pad(mag, 1, mode="constant")
+    keep = np.zeros((H, W), bool)
+    for s, (oy, ox) in offs.items():
+        n1 = magp[1 + oy : 1 + oy + H, 1 + ox : 1 + ox + W]
+        n2 = magp[1 - oy : 1 - oy + H, 1 - ox : 1 - ox + W]
+        keep |= (sector == s) & (mag >= n1) & (mag >= n2)
+
+    lo, hi = float(min(thres1, thres2)), float(max(thres1, thres2))
+    strong = keep & (mag > hi)
+    weakm = keep & (mag > lo)
+
+    # hysteresis: weak pixels 8-connected to strong survive
+    out = strong.copy()
+    while True:
+        outp = np.pad(out, 1, mode="constant")
+        grown = np.zeros((H, W), bool)
+        for oy in (-1, 0, 1):
+            for ox in (-1, 0, 1):
+                grown |= outp[1 + oy : 1 + oy + H, 1 + ox : 1 + ox + W]
+        new = out | (weakm & grown)
+        if (new == out).all():
+            break
+        out = new
+
+    canny = out.astype(np.float32)
+    return canny if isEdge1 else 1.0 - canny
+
+
 def sobel_edge_mask(image, threshold: float = 0.2, edge_is_one: bool = True):
-    """Edge mask for depth-loss weighting.  Capability stand-in for the
-    reference's cv2.Canny mask (utils/loss.py:74-79) — which the training
-    loss never consumes — using a pure-JAX Sobel magnitude threshold."""
+    """Edge mask for depth-loss weighting: differentiable/jittable Sobel
+    magnitude threshold (the jnp companion of ``image2canny``, which
+    reproduces the reference's exact cv2.Canny mask on the host)."""
     gray = jnp.mean(image, axis=0)                       # (H, W)
     kx = jnp.array([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], jnp.float32)
     ky = kx.T
