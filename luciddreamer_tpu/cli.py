@@ -40,6 +40,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Weight of the masked depth L1 term (0 = off). The "
                         "reference declares use_depth but never reads it "
                         "(arguments.py:17); here it is a real loss")
+    p.add_argument("--image_size", type=int, default=512,
+                   help="Working resolution (the reference hardcodes 512, "
+                        "arguments.py:43-44; the focal length scales "
+                        "proportionally so the field of view is preserved)")
     return p
 
 
@@ -55,7 +59,7 @@ def main(argv=None):
     from PIL import Image
 
     from luciddreamer_tpu.app import LucidDreamerTPU
-    from luciddreamer_tpu.config import GSConfig
+    from luciddreamer_tpu.config import CameraConfig, GSConfig
     from luciddreamer_tpu.dream import DreamConfig
 
     rgb_cond = Image.open(args.image).convert("RGB")
@@ -75,8 +79,12 @@ def main(argv=None):
         gs_cfg.lambda_depth = args.lambda_depth
         gs_cfg.use_depth = True
 
+    s = args.image_size
+    focal = 5.8269e02 * s / 512.0
     ld = LucidDreamerTPU(
         gs_config=gs_cfg,
+        cam_config=CameraConfig(image_width=s, image_height=s,
+                                focal=(focal, focal)),
         dream_config=DreamConfig(
             inpainter=args.inpainter, depth_estimator=args.depth_model
         ),

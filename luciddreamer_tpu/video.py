@@ -80,17 +80,32 @@ def write_videos(
     fps: int = 60,
     quality: int = 8,
 ):
-    """{name}.mp4 + depth_{name}.mp4 (luciddreamer.py:267-271)."""
+    """{name}.mp4 + depth_{name}.mp4 (luciddreamer.py:267-271).
+
+    Falls back to animated GIFs when no mp4 encoder (ffmpeg/pyav) is
+    installed, so headless environments still get viewable outputs."""
     import imageio
 
     os.makedirs(outdir, exist_ok=True)
-    rgb_path = os.path.join(outdir, f"{name}.mp4")
-    depth_path = os.path.join(outdir, f"depth_{name}.mp4")
-    imageio.mimwrite(rgb_path, rgbs, fps=fps, quality=quality)
     alld = np.stack(depths)
     pos = alld[alld > 0]
     vmin = float(np.percentile(pos, 2)) if pos.size else 0.0
     vmax = float(np.percentile(pos, 98)) if pos.size else 1.0
     depth_frames = [colorize_depth(d, vmin=vmin, vmax=vmax) for d in depths]
-    imageio.mimwrite(depth_path, depth_frames, fps=fps, quality=quality)
+
+    def write(base, frames):
+        path = os.path.join(outdir, base + ".mp4")
+        try:
+            imageio.mimwrite(path, frames, fps=fps, quality=quality)
+            return path
+        except Exception:
+            import warnings
+
+            path = os.path.join(outdir, base + ".gif")
+            warnings.warn("no mp4 encoder available; writing GIF instead")
+            imageio.mimwrite(path, frames, duration=1000.0 / fps, loop=0)
+            return path
+
+    rgb_path = write(name, rgbs)
+    depth_path = write(f"depth_{name}", depth_frames)
     return rgb_path, depth_path
