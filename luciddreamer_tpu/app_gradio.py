@@ -1,33 +1,85 @@
 """Gradio UI for LucidDreamer-TPU (reference app.py / app_mini.py).
 
 Wired like app_mini.py:65-236: image + prompt inputs, camera-path radios,
-run/create/render buttons, video outputs.  Import-gated: the environment
-must provide ``gradio`` (not bundled here).
+run/create/render buttons, video outputs — plus the reference full app's
+extras (app.py:36-47, app_mini.py:190-236): a model/backend selector
+(mapping onto the dream protocol registries instead of SD checkpoint
+files) and an examples quick-load gallery fed from ``examples/``.
+Import-gated: the environment must provide ``gradio`` (not bundled here).
 """
 from __future__ import annotations
+
+import glob
+import os
+
+# backend choices shown in the UI — the registry names from
+# dream.protocols; the reference offers 4 SD checkpoints here (app.py:36-47)
+INPAINTER_CHOICES = ["classic", "sd", "sd_controlnet", "lama"]
+DEPTH_CHOICES = ["radial", "zoedepth_flax", "zoedepth"]
+
+
+def find_examples(root: str | None = None):
+    """[(image_path, prompt, negative_prompt)] from an examples/ directory
+    of <name>.png|jpg + <name>.txt + <name>_negative.txt triples (the
+    reference's examples/ layout, app_mini.py:190-236)."""
+    if root is None:
+        root = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "examples",
+        )
+    out = []
+    for img in sorted(
+        glob.glob(os.path.join(root, "*.png"))
+        + glob.glob(os.path.join(root, "*.jpg"))
+    ):
+        stem = os.path.splitext(img)[0]
+        prompt, neg = "", ""
+        if os.path.exists(stem + ".txt"):
+            with open(stem + ".txt") as f:
+                prompt = f.readline().strip()
+        if os.path.exists(stem + "_negative.txt"):
+            with open(stem + "_negative.txt") as f:
+                neg = f.readline().strip()
+        out.append((img, prompt, neg))
+    return out
 
 
 def build_demo(save_dir: str = "./gradio_output"):
     import gradio as gr  # gated import
 
     from luciddreamer_tpu.app import LucidDreamerTPU
+    from luciddreamer_tpu.dream import DreamConfig
 
-    ld = LucidDreamerTPU(save_dir=save_dir)
+    state = {"ld": None, "backends": (None, None)}
 
-    def run_all(image, prompt, neg_prompt, campath_gen, campath_render,
-                seed, diff_steps, progress=None):
-        ld.create(image, prompt, neg_prompt, campath_gen, int(seed),
-                  int(diff_steps))
-        rgb_path, depth_path = ld.render_video(campath_render)
-        return rgb_path, depth_path
+    def get_ld(inpainter, depth_model):
+        if state["ld"] is None or state["backends"] != (inpainter,
+                                                        depth_model):
+            state["ld"] = LucidDreamerTPU(
+                dream_config=DreamConfig(
+                    inpainter=inpainter, depth_estimator=depth_model,
+                ),
+                save_dir=save_dir,
+            )
+            state["backends"] = (inpainter, depth_model)
+        return state["ld"]
 
-    def create_only(image, prompt, neg_prompt, campath_gen, seed, diff_steps):
+    def create_only(image, prompt, neg_prompt, campath_gen, seed,
+                    diff_steps, inpainter, depth_model):
+        ld = get_ld(inpainter, depth_model)
         return ld.create(image, prompt, neg_prompt, campath_gen, int(seed),
                          int(diff_steps))
 
-    def render_only(campath_render):
+    def render_only(campath_render, inpainter, depth_model):
+        ld = get_ld(inpainter, depth_model)
         rgb_path, depth_path = ld.render_video(campath_render)
         return rgb_path, depth_path
+
+    def run_all(image, prompt, neg_prompt, campath_gen, campath_render,
+                seed, diff_steps, inpainter, depth_model):
+        create_only(image, prompt, neg_prompt, campath_gen, seed,
+                    diff_steps, inpainter, depth_model)
+        return render_only(campath_render, inpainter, depth_model)
 
     with gr.Blocks(title="LucidDreamer-TPU") as demo:
         gr.Markdown("# LucidDreamer-TPU: image + text -> 3D Gaussian scene")
@@ -36,6 +88,13 @@ def build_demo(save_dir: str = "./gradio_output"):
                 image = gr.Image(type="pil", label="Input image")
                 prompt = gr.Textbox(label="Text prompt")
                 neg = gr.Textbox(label="Negative prompt")
+                inpainter = gr.Dropdown(
+                    INPAINTER_CHOICES, value="classic",
+                    label="Inpainting model",
+                )
+                depth_model = gr.Dropdown(
+                    DEPTH_CHOICES, value="radial", label="Depth model",
+                )
                 campath_gen = gr.Radio(
                     ["lookdown", "lookaround", "rotate360"],
                     value="lookdown", label="Generation camera path",
@@ -50,6 +109,13 @@ def build_demo(save_dir: str = "./gradio_output"):
                 btn_run = gr.Button("Run all")
                 btn_create = gr.Button("Create scene")
                 btn_render = gr.Button("Render video")
+                examples = find_examples()
+                if examples:
+                    gr.Examples(
+                        examples=[list(e) for e in examples],
+                        inputs=[image, prompt, neg],
+                        label="Examples (quick load)",
+                    )
             with gr.Column():
                 vid_rgb = gr.Video(label="RGB video")
                 vid_depth = gr.Video(label="Depth video")
@@ -57,15 +123,20 @@ def build_demo(save_dir: str = "./gradio_output"):
 
         btn_run.click(
             run_all,
-            [image, prompt, neg, campath_gen, campath_render, seed, steps],
+            [image, prompt, neg, campath_gen, campath_render, seed, steps,
+             inpainter, depth_model],
             [vid_rgb, vid_depth],
         )
         btn_create.click(
             create_only,
-            [image, prompt, neg, campath_gen, seed, steps],
+            [image, prompt, neg, campath_gen, seed, steps, inpainter,
+             depth_model],
             [ply_file],
         )
-        btn_render.click(render_only, [campath_render], [vid_rgb, vid_depth])
+        btn_render.click(
+            render_only, [campath_render, inpainter, depth_model],
+            [vid_rgb, vid_depth],
+        )
     return demo
 
 

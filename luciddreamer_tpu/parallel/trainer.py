@@ -55,6 +55,7 @@ class ShardedTrainer:
         backend: str | None = None,
         chunk: int = 64,
         seed: int = 0,
+        grad_overlap: bool = False,
     ):
         self.cfg = cfg
         self.extent = float(cameras_extent)
@@ -76,6 +77,12 @@ class ShardedTrainer:
             stats=DensifyStats.zero(params.capacity),
             step=jnp.zeros((), jnp.int32),
         )
+        # grad_overlap selects the manual chunked-ring reduction with the
+        # Adam update interleaved per chunk (parallel/overlap.py) instead of
+        # the autodiff psum — same numerics, overlapped ICI traffic.  The
+        # overlapped step does not take a depth batch (its loss is the plain
+        # L1 + D-SSIM).
+        self.grad_overlap = grad_overlap
         self.py_rng = np.random.default_rng(seed)
         self.key = jax.random.PRNGKey(seed)
         self._build_step()
@@ -90,12 +97,26 @@ class ShardedTrainer:
     def _build_step(self):
         pair_cap = self.pair_cap
 
-        def step(state, cam_batch, gt_batch, depth_batch):
-            return sharded_train_step_batch(
-                state, cam_batch, gt_batch, self.bg, self.mesh, self.cfg,
-                self.extent, gt_depth_batch=depth_batch,
-                chunk=self.chunk, pair_cap=pair_cap, backend=self.backend,
+        if self.grad_overlap:
+            from luciddreamer_tpu.parallel.overlap import (
+                sharded_train_step_overlapped,
             )
+
+            def step(state, cam_batch, gt_batch, depth_batch):
+                del depth_batch
+                return sharded_train_step_overlapped(
+                    state, cam_batch, gt_batch, self.bg, self.mesh,
+                    self.cfg, self.extent, chunk=self.chunk,
+                    pair_cap=pair_cap, backend=self.backend,
+                )
+        else:
+            def step(state, cam_batch, gt_batch, depth_batch):
+                return sharded_train_step_batch(
+                    state, cam_batch, gt_batch, self.bg, self.mesh,
+                    self.cfg, self.extent, gt_depth_batch=depth_batch,
+                    chunk=self.chunk, pair_cap=pair_cap,
+                    backend=self.backend,
+                )
 
         self._step_fn = jax.jit(step, donate_argnums=(0,))
 

@@ -172,6 +172,82 @@ def test_sharded_trainer_long_run_densifies_and_converges(rng):
     assert tr.pair_cap > 64 and tr.last_overflow
 
 
+def test_ring_all_reduce_matches_psum(rng):
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    from luciddreamer_tpu.parallel.overlap import ring_all_reduce
+
+    mesh = make_mesh(data=2, tiles=4)
+    x = jnp.asarray(rng.normal(size=(8, 37)), jnp.float32)  # 37: forces pad
+
+    def body(x):
+        ring_t = ring_all_reduce(x[0], "tiles", 4)
+        ring_d = ring_all_reduce(ring_t, "data", 2)
+        ref = jax.lax.psum(x[0], ("data", "tiles"))
+        return (ring_d - ref)[None], ring_d[None]
+
+    with mesh:
+        diff, val = jax.jit(shard_map(
+            body, mesh=mesh, in_specs=(P(("data", "tiles")),),
+            out_specs=(P(("data", "tiles")), P(("data", "tiles"))),
+            check_vma=False,
+        ))(x)
+    assert float(jnp.abs(diff).max()) < 1e-5
+    np.testing.assert_allclose(np.asarray(val)[0],
+                               np.asarray(x).sum(0), rtol=1e-6)
+
+
+def test_overlapped_step_matches_autodiff_step(rng):
+    """The manual chunked-ring + interleaved-Adam step must reproduce the
+    autodiff sharded step: same loss, same updated parameters."""
+    from luciddreamer_tpu.parallel.overlap import sharded_train_step_overlapped
+
+    params = make_random_gaussians(60, rng, scale_range=(-3.0, -1.5))
+    W, H = 64, 64
+    cams = [_cam(W, H, dx) for dx in (-0.2, 0.2)]
+    bg = jnp.zeros(3)
+    gt = jnp.stack([
+        render_tiled(params, c, bg, active_sh_degree=3)["render"]
+        for c in cams
+    ])
+    cam_batch = jax.tree.map(lambda *xs: jnp.stack(xs), *cams)
+
+    mesh = make_mesh(data=2, tiles=4)
+    cfg = GSConfig()
+
+    def mk_state(p):
+        return TrainState(
+            params=p, adam=adam_init(p.param_pytree()),
+            stats=DensifyStats.zero(p.capacity),
+            step=jnp.zeros((), jnp.int32),
+        )
+
+    p1 = jax.tree.map(jnp.copy, params)
+    p2 = jax.tree.map(jnp.copy, params)
+    with mesh:
+        s_ref, loss_ref, ovf_ref = jax.jit(
+            lambda s: sharded_train_step_batch(
+                s, cam_batch, gt, bg, mesh, cfg, extent=1.0, chunk=32
+            )
+        )(mk_state(p1))
+        s_ovl, loss_ovl, ovf_ovl = jax.jit(
+            lambda s: sharded_train_step_overlapped(
+                s, cam_batch, gt, bg, mesh, cfg, extent=1.0, chunk=32
+            )
+        )(mk_state(p2))
+
+    assert not bool(ovf_ref) and not bool(ovf_ovl)
+    assert float(loss_ovl) == pytest.approx(float(loss_ref), rel=1e-5)
+    for k in s_ref.params.param_pytree():
+        a = np.asarray(s_ref.params.param_pytree()[k])
+        b = np.asarray(s_ovl.params.param_pytree()[k])
+        np.testing.assert_allclose(b, a, atol=2e-5, err_msg=k)
+    np.testing.assert_allclose(np.asarray(s_ovl.stats.grad_accum),
+                               np.asarray(s_ref.stats.grad_accum),
+                               atol=1e-6)
+    assert int(s_ovl.step) == int(s_ref.step) == 1
+
+
 def test_dp_tiles_train_step(rng):
     """2 data x 4 tiles mesh: one full training step, grads vs single-dev."""
     params = make_random_gaussians(60, rng, scale_range=(-3.0, -1.5))
