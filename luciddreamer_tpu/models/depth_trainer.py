@@ -55,7 +55,13 @@ def onecycle_schedule(cfg: DepthTrainConfig):
 
 class DepthTrainer:
     def __init__(self, model_cfg: Optional[ZoeDepthConfig] = None,
-                 cfg: Optional[DepthTrainConfig] = None, seed: int = 0):
+                 cfg: Optional[DepthTrainConfig] = None, seed: int = 0,
+                 mesh=None):
+        """``mesh``: optional jax Mesh with a 'data' axis — batches are
+        sharded over it and parameters replicated, the jit/GSPMD equivalent
+        of the reference's DDP training (train_mono.py:138-174,
+        misc.py:251-282: NCCL DDP, batch divided per rank).  Multi-host
+        slices additionally call parallel.multihost.initialize first."""
         self.model_cfg = model_cfg or ZoeDepthConfig.tiny()
         self.cfg = cfg or DepthTrainConfig()
         self.model = FlaxZoeDepth(self.model_cfg)
@@ -72,7 +78,20 @@ class DepthTrainer:
         self.step = 0
         self.best_metric = float("inf")
         self.best_params = None
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self._repl = NamedSharding(mesh, P())
+            self._batch_sh = NamedSharding(mesh, P("data"))
+            self.params = jax.device_put(self.params, self._repl)
+            self.opt_state = jax.device_put(self.opt_state, self._repl)
         self._train_step = jax.jit(self._train_step_impl)
+
+    def _shard_batch(self, x):
+        if self.mesh is None:
+            return jnp.asarray(x)
+        return jax.device_put(jnp.asarray(x), self._batch_sh)
 
     def _loss(self, params, image, depth, mask):
         out = self.model.apply(params, image)
@@ -97,7 +116,8 @@ class DepthTrainer:
             mask = depth > 0
         params, opt_state, loss = self._train_step(
             self.params, self.opt_state,
-            jnp.asarray(image), jnp.asarray(depth), jnp.asarray(mask),
+            self._shard_batch(image), self._shard_batch(depth),
+            self._shard_batch(mask),
         )
         if not bool(jnp.isfinite(loss)):
             return float(loss)          # skip the poisoned update

@@ -22,7 +22,9 @@ import jax
 import jax.numpy as jnp
 
 _HI = jax.lax.Precision.HIGHEST
-_BIG = jnp.float32(3.4e38)
+# python float, not a jnp scalar: a module-level device array would
+# initialize the XLA backend at import, breaking jax.distributed.initialize
+_BIG = 3.4e38
 
 
 def _pad_to(x, n, fill):

@@ -84,8 +84,12 @@ def ssim(img1, img2, window_size: int = 11, sigma: float = 1.5,
     return jnp.mean(ssim_map) if size_average else jnp.mean(ssim_map, (1, 2))
 
 
-_CROSS = jnp.array([[0.0, 1.0, 0.0], [1.0, 0.0, 1.0], [0.0, 1.0, 0.0]],
-                   jnp.float32)
+# numpy on purpose: a module-level jnp array would initialize the XLA
+# backend at import time, which breaks jax.distributed.initialize in
+# multi-host programs (the reference has exactly this wart with its
+# import-time CUDA conv, utils/loss.py:81-87)
+_CROSS = np.array([[0.0, 1.0, 0.0], [1.0, 0.0, 1.0], [0.0, 1.0, 0.0]],
+                  np.float32)
 
 
 def near_mean_map(array, mask, kernelsize: int = 3):
@@ -93,7 +97,7 @@ def near_mean_map(array, mask, kernelsize: int = 3):
     for depth-smoothing losses.  Pure function; the reference builds the conv
     at import time on the GPU."""
     assert kernelsize == 3
-    k = _CROSS.reshape(1, 1, 3, 3)
+    k = jnp.asarray(_CROSS).reshape(1, 1, 3, 3)
     conv = lambda x: jax.lax.conv_general_dilated(
         x[None, None], k, (1, 1), [(1, 1), (1, 1)],
         dimension_numbers=("NCHW", "OIHW", "NCHW"),

@@ -128,6 +128,37 @@ def test_depth_trainer_overfits_tiny_batch(rng):
     assert tr.best_params is not None
 
 
+def test_depth_trainer_data_parallel_matches_single(rng):
+    """DP over an 8-device 'data' mesh must reproduce the single-device
+    step exactly (same batch, replicated params, GSPMD grad reduction) —
+    the jit equivalent of the reference's DDP (train_mono.py:138-174)."""
+    from jax.sharding import Mesh
+    from luciddreamer_tpu.models.depth_trainer import (
+        DepthTrainConfig,
+        DepthTrainer,
+    )
+    from luciddreamer_tpu.models.zoedepth import ZoeDepthConfig
+
+    if len(jax.device_count() * [0]) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("data",))
+    cfg = ZoeDepthConfig.tiny()
+    tcfg = DepthTrainConfig(lr=1e-4, epochs=1, steps_per_epoch=10)
+    tr_dp = DepthTrainer(cfg, tcfg, seed=0, mesh=mesh)
+    tr_sd = DepthTrainer(cfg, tcfg, seed=0)
+
+    img = jnp.asarray(rng.uniform(size=(8, 64, 64, 3)), jnp.float32)
+    depth = jnp.asarray(1.0 + rng.uniform(size=(8, 64, 64)), jnp.float32)
+    for _ in range(3):
+        l_dp = tr_dp.train_batch(img, depth)
+        l_sd = tr_sd.train_batch(img, depth)
+        assert l_dp == pytest.approx(l_sd, rel=1e-5)
+    a = jax.tree_util.tree_leaves(tr_dp.params)
+    b = jax.tree_util.tree_leaves(tr_sd.params)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-5)
+
+
 def test_depth_data_pipeline(rng, tmp_path):
     import os
     from PIL import Image
