@@ -201,13 +201,53 @@ def _expand_sort_fwd(ctable, g, owner_start, offsets_p1, total,
                                     ctable.shape[0])
 
 
+def _repack_cols(x, n_cols: int):
+    """(pair_cap, 16) -> tuple of n_cols contiguous (pair_cap,) columns via
+    ONE Pallas pass.
+
+    Slicing the Pallas-backward's output column by column costs ten
+    separate strided passes over the (pair_cap, 16) array (~2.8 ms each on
+    v5e, trace-measured) because sort operands cannot fuse into a
+    custom-call producer, and jnp transposes/optimization_barrier get
+    folded right back into the slices by XLA.  A custom kernel is opaque
+    to fusion, so the relayout happens exactly once (~1 ms HBM-bound).
+    """
+    from jax.experimental import pallas as pl
+
+    pair_cap = x.shape[0]
+    # 1024 first: XLA lays out big f32[N] arrays as T(1024) and Mosaic
+    # requires the out-block shape to match that tiling
+    block = next(b for b in (1024, 512, 256, 128, 64, 32, 16, 8)
+                 if pair_cap % b == 0)
+    n_blocks = pair_cap // block
+
+    def kernel(x_ref, *out_refs):
+        v = x_ref[:, :]                         # (block, 16)
+        for c, o in enumerate(out_refs):
+            o[:] = v[:, c]
+
+    interpret = jax.default_backend() not in ("tpu",)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[pl.BlockSpec((block, x.shape[1]), lambda i: (i, 0))],
+        out_specs=[pl.BlockSpec((block,), lambda i: (i,))
+                   for _ in range(n_cols)],
+        out_shape=[jax.ShapeDtypeStruct((pair_cap,), x.dtype)
+                   for _ in range(n_cols)],
+        interpret=interpret,
+    )(x)
+    return outs
+
+
 def _expand_sort_bwd(grid_x, num_tiles, rank_bits, res, d):
     slot_s, offsets_p1, total, p1 = res
     d_attrs, _, _ = d
     pair_cap = slot_s.shape[0]
     # (a) cotangent rows back to slot order: slot_s is a permutation of
-    # [0, pair_cap), so one sort keyed on it inverts the pair sort
-    d_cols = [d_attrs[:, i] for i in range(N_GRAD_CH)]
+    # [0, pair_cap), so one sort keyed on it inverts the pair sort; the
+    # sort operands come from one fusion-opaque repack pass (_repack_cols)
+    d_cols = _repack_cols(d_attrs, N_GRAD_CH)
     out = jax.lax.sort((slot_s, *d_cols), num_keys=1, is_stable=False)
     d_slot = jnp.stack(out[1:], axis=-1)         # (pair_cap, N_GRAD_CH)
     # (b) rows past the live range are garbage (the Pallas backward never
