@@ -215,11 +215,21 @@ def _repack_cols(x, n_cols: int):
     from jax.experimental import pallas as pl
 
     pair_cap = x.shape[0]
-    # 1024 first: XLA lays out big f32[N] arrays as T(1024) and Mosaic
-    # requires the out-block shape to match that tiling
-    block = next(b for b in (1024, 512, 256, 128, 64, 32, 16, 8)
-                 if pair_cap % b == 0)
-    n_blocks = pair_cap // block
+    # XLA lays out big f32[N] buffers as T(1024) REGARDLESS of divisibility
+    # (Mosaic then requires the out-block shape to be exactly 1024), so any
+    # non-1024-multiple capacity must be padded up front.  Round 4 shipped a
+    # largest-divisor block picker here; at the benchmark's pair_cap of
+    # 4_000_000 (4_000_000 % 1024 == 256) it picked 256 and Mosaic refused
+    # the kernel on hardware ("XLA layout ({0:T(1024)}) does not match
+    # Mosaic layout ({0:T(256)})").  Padding keeps the kernel correct for
+    # ANY capacity; callers that align pair_cap to 1024 skip the pad copy.
+    block = 1024
+    padded = ((pair_cap + block - 1) // block) * block
+    if padded != pair_cap:
+        x = jnp.concatenate(
+            [x, jnp.zeros((padded - pair_cap, x.shape[1]), x.dtype)]
+        )
+    n_blocks = padded // block
 
     def kernel(x_ref, *out_refs):
         v = x_ref[:, :]                         # (block, 16)
@@ -233,10 +243,12 @@ def _repack_cols(x, n_cols: int):
         in_specs=[pl.BlockSpec((block, x.shape[1]), lambda i: (i, 0))],
         out_specs=[pl.BlockSpec((block,), lambda i: (i,))
                    for _ in range(n_cols)],
-        out_shape=[jax.ShapeDtypeStruct((pair_cap,), x.dtype)
+        out_shape=[jax.ShapeDtypeStruct((padded,), x.dtype)
                    for _ in range(n_cols)],
         interpret=interpret,
     )(x)
+    if padded != pair_cap:
+        outs = [o[:pair_cap] for o in outs]
     return outs
 
 

@@ -16,6 +16,7 @@ Backends:
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -56,8 +57,13 @@ def render_tiled(
     grid_x, grid_y = num_tiles_for(H, W, tile_size)
     if pair_cap is None:
         pair_cap = default_pair_capacity(params.capacity)
-    # chunk-align the capacity so every tile range packs losslessly
-    pair_cap = ((pair_cap + chunk - 1) // chunk) * chunk
+    # align the capacity to lcm(chunk, 1024): chunk-alignment packs every
+    # tile range losslessly, 1024-alignment matches XLA's T(1024) layout of
+    # big f32[N] buffers so the backward's Pallas repack needs no padding
+    # copy (see binning._repack_cols; round-4's bench crashed here with a
+    # 4_000_000 cap that was chunk-aligned but not 1024-aligned)
+    align = math.lcm(chunk, 1024)
+    pair_cap = ((pair_cap + align - 1) // align) * align
 
     proc = preprocess_gaussians(
         params, camera, active_sh_degree, tile_size, scale_modifier,
