@@ -137,10 +137,20 @@ def sharded_train_step_overlapped(
     state: TrainState, cam_batch, gt_batch, bg, mesh: Mesh, cfg: GSConfig,
     extent: float, tile_size: int = 16, chunk: int = 64,
     pair_cap: int | None = None, backend: str = "xla",
-    f_rest_chunks: int = 3,
+    f_rest_chunks: int = 3, gt_depth_batch=None,
 ):
     """Drop-in twin of ``sharded_train_step_batch`` with manual chunked
-    grad reduction overlapped with the optimizer (module docstring)."""
+    grad reduction overlapped with the optimizer (module docstring).
+
+    ``gt_depth_batch`` (B, H, W): when given with cfg.lambda_depth > 0, the
+    masked-L1 depth term of the batch step (parallel/sharded.py:299-304) is
+    reproduced per shard — each band contributes its masked-|err| sum over
+    the GLOBAL mask count, which needs one early scalar psum of the count
+    (the mask carries no gradient, so the partial-gradient property of the
+    per-shard loss is preserved and no parameter all-reduce sneaks in).
+    This is the latent ``use_depth`` capability of the reference
+    (arguments.py:17) in the north-star config-5 step.
+    """
     n_data = mesh.shape["data"]
     n_tiles = mesh.shape["tiles"]
     params = state.params
@@ -160,12 +170,17 @@ def sharded_train_step_overlapped(
     lrs = learning_rates(cfg, extent, it - 1)
     lam = cfg.lambda_dssim
     denom = n_data * 3 * H * W
+    use_depth = cfg.lambda_depth > 0.0 and gt_depth_batch is not None
+    if not use_depth:
+        # dummy keeps the shard_map signature fixed; never read
+        gt_depth_batch = jnp.zeros((n_data, n_tiles, 1), jnp.float32)
 
-    def body(pdict, alive, cams, gt, bg, mask, lr_vals, mu, nu, count,
+    def body(pdict, alive, cams, gt, gtd, bg, mask, lr_vals, mu, nu, count,
              stats_leaves):
         t_idx = jax.lax.axis_index("tiles")
         cam = jax.tree.map(lambda x: x[0], cams)
         gt_band = gt[0]                             # (3, h_local, W)
+        gtd_band = gtd[0]                           # (h_local, W) if used
 
         def local_loss(pd, offset):
             pd = dict(pd, f_rest=pd["f_rest"] * mask[None])
@@ -182,6 +197,17 @@ def sharded_train_step_overlapped(
             ssim_sum = _band_ssim_sum(img, gt_band, top_i, bot_i,
                                       top_g, bot_g)
             contrib = ((1.0 - lam) * l1_sum - lam * ssim_sum) / denom
+            if use_depth:
+                dpt = out["depth"]
+                dmask = ((gtd_band > 0) & (dpt > 0)).astype(img.dtype)
+                num_s = jnp.sum(jnp.abs(dpt - gtd_band) * dmask)
+                # global mask count: the mask has no gradient, so this psum
+                # stays out of the parameter-gradient graph
+                den_g = jax.lax.psum(
+                    jax.lax.stop_gradient(jnp.sum(dmask)),
+                    ("data", "tiles"),
+                )
+                contrib = contrib + cfg.lambda_depth * num_s / (den_g + 1e-8)
             return contrib, (out["radii"], out["overflow"])
 
         (contrib, (radii, ovf)), (grads, g2d) = jax.value_and_grad(
@@ -253,12 +279,13 @@ def sharded_train_step_overlapped(
         body,
         mesh=mesh,
         in_specs=(repl, repl, P("data"),
-                  P("data", None, "tiles", None), repl, repl, repl,
-                  repl, repl, repl, repl),
+                  P("data", None, "tiles", None), P("data", "tiles", None),
+                  repl, repl, repl, repl, repl, repl, repl),
         out_specs=(repl, repl, repl, repl, repl, repl, repl),
         check_vma=False,
-    )(pdict, params.alive, cam_batch, gt_batch, bg, mask, lrs,
-      state.adam.mu, state.adam.nu, state.adam.count, tuple(stats_leaves))
+    )(pdict, params.alive, cam_batch, gt_batch, gt_depth_batch, bg, mask,
+      lrs, state.adam.mu, state.adam.nu, state.adam.count,
+      tuple(stats_leaves))
 
     new_pdict, new_mu, new_nu, new_count, new_stats_leaves, loss, ovf = out
     return (

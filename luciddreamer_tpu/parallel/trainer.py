@@ -79,9 +79,9 @@ class ShardedTrainer:
         )
         # grad_overlap selects the manual chunked-ring reduction with the
         # Adam update interleaved per chunk (parallel/overlap.py) instead of
-        # the autodiff psum — same numerics, overlapped ICI traffic.  The
-        # overlapped step does not take a depth batch (its loss is the plain
-        # L1 + D-SSIM).
+        # the autodiff psum — same numerics (incl. the masked depth-L1 term
+        # when views carry depth and cfg.lambda_depth > 0), overlapped ICI
+        # traffic.
         self.grad_overlap = grad_overlap
         self.py_rng = np.random.default_rng(seed)
         self.key = jax.random.PRNGKey(seed)
@@ -103,11 +103,11 @@ class ShardedTrainer:
             )
 
             def step(state, cam_batch, gt_batch, depth_batch):
-                del depth_batch
                 return sharded_train_step_overlapped(
                     state, cam_batch, gt_batch, self.bg, self.mesh,
                     self.cfg, self.extent, chunk=self.chunk,
                     pair_cap=pair_cap, backend=self.backend,
+                    gt_depth_batch=depth_batch,
                 )
         else:
             def step(state, cam_batch, gt_batch, depth_batch):

@@ -248,6 +248,67 @@ def test_overlapped_step_matches_autodiff_step(rng):
     assert int(s_ovl.step) == int(s_ref.step) == 1
 
 
+def test_overlapped_step_matches_autodiff_step_with_depth(rng):
+    """Overlapped vs batch step equality with the masked depth-L1 term
+    active (lambda_depth > 0, depth-bearing views) — the north-star
+    config-5 step must train with the same loss configs 3 uses."""
+    from luciddreamer_tpu.parallel.overlap import sharded_train_step_overlapped
+
+    params = make_random_gaussians(60, rng, scale_range=(-3.0, -1.5))
+    W, H = 64, 64
+    cams = [_cam(W, H, dx) for dx in (-0.2, 0.2)]
+    bg = jnp.zeros(3)
+    rendered = [
+        render_tiled(params, c, bg, active_sh_degree=3) for c in cams
+    ]
+    gt = jnp.stack([r["render"] for r in rendered])
+    # perturbed gt depth so the depth term has signal; zeros in a corner
+    # exercise the gt>0 half of the mask
+    gt_depth = jnp.stack([r["depth"] * 1.1 for r in rendered])
+    gt_depth = gt_depth.at[:, :8, :8].set(0.0)
+    cam_batch = jax.tree.map(lambda *xs: jnp.stack(xs), *cams)
+
+    mesh = make_mesh(data=2, tiles=4)
+    cfg = GSConfig(lambda_depth=0.3)
+
+    def mk_state(p):
+        return TrainState(
+            params=p, adam=adam_init(p.param_pytree()),
+            stats=DensifyStats.zero(p.capacity),
+            step=jnp.zeros((), jnp.int32),
+        )
+
+    p1 = jax.tree.map(jnp.copy, params)
+    p2 = jax.tree.map(jnp.copy, params)
+    with mesh:
+        s_ref, loss_ref, ovf_ref = jax.jit(
+            lambda s: sharded_train_step_batch(
+                s, cam_batch, gt, bg, mesh, cfg, extent=1.0, chunk=32,
+                gt_depth_batch=gt_depth,
+            )
+        )(mk_state(p1))
+        s_ovl, loss_ovl, ovf_ovl = jax.jit(
+            lambda s: sharded_train_step_overlapped(
+                s, cam_batch, gt, bg, mesh, cfg, extent=1.0, chunk=32,
+                gt_depth_batch=gt_depth,
+            )
+        )(mk_state(p2))
+
+    assert not bool(ovf_ref) and not bool(ovf_ovl)
+    # sanity: the depth term actually contributes (loss without it differs)
+    _, loss_nod, _ = jax.jit(
+        lambda s: sharded_train_step_batch(
+            s, cam_batch, gt, bg, mesh, cfg, extent=1.0, chunk=32,
+        )
+    )(mk_state(jax.tree.map(jnp.copy, params)))
+    assert abs(float(loss_ref) - float(loss_nod)) > 1e-4
+    assert float(loss_ovl) == pytest.approx(float(loss_ref), rel=1e-5)
+    for k in s_ref.params.param_pytree():
+        a = np.asarray(s_ref.params.param_pytree()[k])
+        b = np.asarray(s_ovl.params.param_pytree()[k])
+        np.testing.assert_allclose(b, a, atol=2e-5, err_msg=k)
+
+
 def test_dp_tiles_train_step(rng):
     """2 data x 4 tiles mesh: one full training step, grads vs single-dev."""
     params = make_random_gaussians(60, rng, scale_range=(-3.0, -1.5))
