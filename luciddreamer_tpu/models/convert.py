@@ -137,15 +137,9 @@ def strip_prefixes(sd: dict) -> dict:
     }
 
 
-def convert_zoedepth_state_dict(sd: dict, cfg: ZoeDepthConfig) -> dict:
-    """Torch ZoeD_N state dict -> {'params': ...} for FlaxZoeDepth.apply.
-
-    ``sd`` maps torch names to numpy-convertible arrays.  Raises KeyError on
-    missing required weights; unknown extra keys are ignored (buffers like
-    relative_position_index, k_bias, frozen-BN stats).
-    """
-    sd = strip_prefixes(sd)
-    sd = {k: np.asarray(v) for k, v in sd.items()}
+def _convert_core(sd: dict, cfg: ZoeDepthConfig) -> dict:
+    """The MiDaS/DPT core subtree (``core.core.pretrained`` + ``scratch``),
+    shared by the N/K and NK converters."""
     c = cfg.vit
     bb = "core.core.pretrained.model"
 
@@ -214,9 +208,22 @@ def convert_zoedepth_state_dict(sd: dict, cfg: ZoeDepthConfig) -> dict:
     core["head1"] = _conv(sd, f"{oc}.0")
     core["head2"] = _conv(sd, f"{oc}.2")
     core["head3"] = _conv(sd, f"{oc}.4")
+    return core
 
+
+def convert_zoedepth_state_dict(sd: dict, cfg: ZoeDepthConfig) -> dict:
+    """Torch ZoeD_N/ZoeD_K state dict -> {'params': ...} for
+    FlaxZoeDepth.apply (the single-head model; 'normed' vs 'softplus' bin
+    centers share the same parameter names).
+
+    ``sd`` maps torch names to numpy-convertible arrays.  Raises KeyError on
+    missing required weights; unknown extra keys are ignored (buffers like
+    relative_position_index, k_bias, frozen-BN stats).
+    """
+    sd = strip_prefixes(sd)
+    sd = {k: np.asarray(v) for k, v in sd.items()}
     params: dict = {
-        "core": core,
+        "core": _convert_core(sd, cfg),
         "conv2": _conv(sd, "conv2"),
         "seed_bin_regressor": {
             "c1": _conv(sd, "seed_bin_regressor._net.0"),
@@ -239,6 +246,78 @@ def convert_zoedepth_state_dict(sd: dict, cfg: ZoeDepthConfig) -> dict:
         params[f"attractor{i}"] = {
             "c1": _conv(sd, f"attractors.{i}._net.0"),
             "c2": _conv(sd, f"attractors.{i}._net.2"),
+        }
+    return {"params": params}
+
+
+def convert_zoedepth_nk_state_dict(
+    sd: dict, cfg: ZoeDepthConfig, bin_conf_names=("nyu", "kitti")
+) -> dict:
+    """Torch ZoeD_NK state dict -> {'params': ...} for FlaxZoeDepthNK.apply.
+
+    On top of the shared DPT core, maps the NK-specific modules
+    (zoedepth_nk_v1.py:100-160):
+
+        patch_transformer.embedding_convPxP          patch_transformer/embed
+        patch_transformer.transformer_encoder
+            .layers.{i}.self_attn.in_proj_*          .../layer{i}/qkv
+            .layers.{i}.self_attn.out_proj           .../layer{i}/proj
+            .layers.{i}.linear1|linear2              .../layer{i}/fc1|fc2
+            .layers.{i}.norm1|norm2                  .../layer{i}/norm1|2
+        mlp_classifier.0|2                           cls1|cls2
+        seed_bin_regressors.{name}._net.0|2          seed_bin_{name}/c1|c2
+        seed_projector / projectors.{i}              (shared, as in N)
+        attractors.{name}.{i}._net.0|2               attractor{i}_{name}/c1|c2
+        conditional_log_binomial.{name}.mlp.0|2      clb_{name}/mlp1|mlp2
+    """
+    sd = strip_prefixes(sd)
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    params: dict = {
+        "core": _convert_core(sd, cfg),
+        "conv2": _conv(sd, "conv2"),
+        "cls1": _dense(sd, "mlp_classifier.0"),
+        "cls2": _dense(sd, "mlp_classifier.2"),
+        "seed_projector": {
+            "c1": _conv(sd, "seed_projector._net.0"),
+            "c2": _conv(sd, "seed_projector._net.2"),
+        },
+    }
+
+    pt: dict = {"embed": _conv(sd, "patch_transformer.embedding_convPxP")}
+    for i in range(4):
+        b = f"patch_transformer.transformer_encoder.layers.{i}"
+        # torch MHA packs [q; k; v] row-blocks into in_proj_weight (3E, E);
+        # the flax layer's single qkv Dense splits its output the same way
+        w = np.asarray(sd[f"{b}.self_attn.in_proj_weight"], np.float32)
+        bias = np.asarray(sd[f"{b}.self_attn.in_proj_bias"], np.float32)
+        pt[f"layer{i}"] = {
+            "qkv": {"kernel": w.T, "bias": bias},
+            "proj": _dense(sd, f"{b}.self_attn.out_proj"),
+            "fc1": _dense(sd, f"{b}.linear1"),
+            "fc2": _dense(sd, f"{b}.linear2"),
+            "norm1": _norm(sd, f"{b}.norm1"),
+            "norm2": _norm(sd, f"{b}.norm2"),
+        }
+    params["patch_transformer"] = pt
+
+    for i in range(len(cfg.n_attractors)):
+        params[f"projector{i}"] = {
+            "c1": _conv(sd, f"projectors.{i}._net.0"),
+            "c2": _conv(sd, f"projectors.{i}._net.2"),
+        }
+    for name in bin_conf_names:
+        params[f"seed_bin_{name}"] = {
+            "c1": _conv(sd, f"seed_bin_regressors.{name}._net.0"),
+            "c2": _conv(sd, f"seed_bin_regressors.{name}._net.2"),
+        }
+        for i in range(len(cfg.n_attractors)):
+            params[f"attractor{i}_{name}"] = {
+                "c1": _conv(sd, f"attractors.{name}.{i}._net.0"),
+                "c2": _conv(sd, f"attractors.{name}.{i}._net.2"),
+            }
+        params[f"clb_{name}"] = {
+            "mlp1": _conv(sd, f"conditional_log_binomial.{name}.mlp.0"),
+            "mlp2": _conv(sd, f"conditional_log_binomial.{name}.mlp.2"),
         }
     return {"params": params}
 

@@ -26,15 +26,26 @@ from luciddreamer_tpu.models.zoedepth import (
     ZoeDepthConfig,
 )
 
-_REGISTRY: dict[str, Callable[[], ZoeDepthConfig]] = {}
+_REGISTRY: dict[str, tuple[Callable[[], ZoeDepthConfig], str]] = {}
+
+# names of full-size entries that refuse to build random-initialized
+_FULL_SIZE = frozenset({"zoedepth", "zoedepth_k", "zoedepth_nk"})
 
 
-def register_depth_model(name: str, cfg_factory: Callable[[], ZoeDepthConfig]):
-    _REGISTRY[name] = cfg_factory
+def register_depth_model(name: str, cfg_factory: Callable[[], ZoeDepthConfig],
+                         kind: str = "zoedepth"):
+    """``kind`` selects the architecture: 'zoedepth' (single-head N/K) or
+    'zoedepth_nk' (two-head + router, hubconf.py:107)."""
+    _REGISTRY[name] = (cfg_factory, kind)
 
 
 register_depth_model("zoedepth", ZoeDepthConfig)          # ZoeD_N geometry
 register_depth_model("zoedepth_tiny", ZoeDepthConfig.tiny)
+register_depth_model("zoedepth_k", ZoeDepthConfig.kitti)  # ZoeD_K (normed)
+register_depth_model("zoedepth_k_tiny", ZoeDepthConfig.kitti_tiny)
+register_depth_model("zoedepth_nk", ZoeDepthConfig, kind="zoedepth_nk")
+register_depth_model("zoedepth_nk_tiny", ZoeDepthConfig.tiny,
+                     kind="zoedepth_nk")
 
 
 def available_depth_models() -> list[str]:
@@ -59,40 +70,45 @@ def load_params(path: str, like=None):
     return serialization.msgpack_restore(data)
 
 
-def load_pretrained(path: str, cfg: ZoeDepthConfig):
-    """Load depth-model weights from ``path`` into a FlaxZoeDepth param tree.
+def load_pretrained(path: str, cfg: ZoeDepthConfig, kind: str = "zoedepth"):
+    """Load depth-model weights from ``path`` into a flax param tree.
 
-    ``.pt``/``.pth`` files are treated as torch ZoeD_N checkpoints and run
-    through the name-mapping converter; anything else is read as a native
-    msgpack tree saved by ``save_params``.
+    ``.pt``/``.pth`` files are treated as torch ZoeDepth checkpoints and run
+    through the name-mapping converter for ``kind``; anything else is read
+    as a native msgpack tree saved by ``save_params``.
     """
     if path.endswith((".pt", ".pth")):
-        from luciddreamer_tpu.models.convert import (
-            convert_zoedepth_state_dict,
-            load_torch_state_dict,
-        )
+        from luciddreamer_tpu.models import convert
 
-        return convert_zoedepth_state_dict(load_torch_state_dict(path), cfg)
+        sd = convert.load_torch_state_dict(path)
+        if kind == "zoedepth_nk":
+            return convert.convert_zoedepth_nk_state_dict(sd, cfg)
+        return convert.convert_zoedepth_state_dict(sd, cfg)
     return load_params(path)
 
 
 def build_depth_model(name: str = "zoedepth", pretrained: str | None = None,
                       cfg: ZoeDepthConfig | None = None,
                       **estimator_kw) -> FlaxZoeDepthEstimator:
-    """Registry entry point (builder.py:27-51 equivalent).
+    """Registry entry point (builder.py:27-51 equivalent); covers the
+    reference hub entries ZoeD_N ('zoedepth'), ZoeD_K ('zoedepth_k') and
+    ZoeD_NK ('zoedepth_nk') plus their tiny test-scale twins.
 
     ``pretrained`` may be a filesystem path to a checkpoint; when omitted,
-    the env var ``LDT_ZOE_CKPT`` is consulted.  Building the full-size
-    ``zoedepth`` WITHOUT weights raises — a random-initialized BEiT-L
-    presented as a metric depth model is a silent failure mode, not a model
-    (the reference always loads pretrained weights, hubconf.py:66).
+    the env var ``LDT_ZOE_CKPT`` is consulted.  Building a full-size model
+    WITHOUT weights raises — a random-initialized BEiT-L presented as a
+    metric depth model is a silent failure mode, not a model (the reference
+    always loads pretrained weights, hubconf.py:66,107,150).
     """
-    if cfg is None:
-        if name not in _REGISTRY:
-            raise KeyError(
-                f"unknown depth model {name!r}; have {available_depth_models()}"
-            )
-        cfg = _REGISTRY[name]()
+    kind = "zoedepth"
+    if name in _REGISTRY:
+        factory, kind = _REGISTRY[name]
+        if cfg is None:
+            cfg = factory()
+    elif cfg is None:
+        raise KeyError(
+            f"unknown depth model {name!r}; have {available_depth_models()}"
+        )
     pretrained = pretrained or os.environ.get("LDT_ZOE_CKPT") or None
     params = None
     if pretrained:
@@ -100,12 +116,16 @@ def build_depth_model(name: str = "zoedepth", pretrained: str | None = None,
             raise FileNotFoundError(
                 f"depth checkpoint {pretrained!r} does not exist"
             )
-        params = load_pretrained(pretrained, cfg)
-    elif name == "zoedepth":
+        params = load_pretrained(pretrained, cfg, kind)
+    elif name in _FULL_SIZE:
         raise RuntimeError(
-            "build_depth_model('zoedepth') needs pretrained weights: pass "
-            "pretrained=<path to ZoeD_N .pt or a msgpack checkpoint> or set "
-            "LDT_ZOE_CKPT. Use name='zoedepth_tiny' for a random-init "
+            f"build_depth_model({name!r}) needs pretrained weights: pass "
+            "pretrained=<path to a torch .pt or a msgpack checkpoint> or set "
+            f"LDT_ZOE_CKPT. Use name='{name}_tiny' for a random-init "
             "test-scale model."
         )
+    if kind == "zoedepth_nk":
+        from luciddreamer_tpu.models.zoedepth_nk import FlaxZoeDepthNK
+
+        estimator_kw.setdefault("model_cls", FlaxZoeDepthNK)
     return FlaxZoeDepthEstimator(cfg=cfg, params=params, **estimator_kw)

@@ -43,6 +43,7 @@ class ZoeDepthConfig:
     attractor_gamma: float = 2.0
     attractor_kind: str = "mean"          # 'mean' | 'sum'
     attractor_type: str = "inv"           # 'inv' | 'exp'
+    bin_centers_type: str = "softplus"    # 'softplus' | 'normed'
     min_depth: float = 1e-3
     max_depth: float = 10.0
     min_temp: float = 0.0212
@@ -59,14 +60,36 @@ class ZoeDepthConfig:
                               out_channels=(16, 32, 64, 64),
                               img_size=(64, 64))
 
+    @staticmethod
+    def kitti():
+        """ZoeD_K geometry: the single-head model with NORMED (bounded) bin
+        centers on (1e-3, 80) and 384x768 inference size
+        (hubconf.py:73,109 + config_zoedepth_kitti.json)."""
+        return ZoeDepthConfig(bin_centers_type="normed", max_depth=80.0,
+                              img_size=(384, 768))
 
-def inv_attractor(dx, alpha, gamma):
-    """dc = dx / (1 + alpha dx^gamma) (attractor.py:45-59; gamma is even)."""
+    @staticmethod
+    def kitti_tiny():
+        return dataclasses.replace(
+            ZoeDepthConfig.tiny(), bin_centers_type="normed", max_depth=80.0
+        )
+
+
+def inv_attractor(dx, alpha=300.0, gamma=2.0):
+    """dc = dx / (1 + alpha dx^gamma) (attractor.py:45-59; gamma is even).
+
+    NOTE the defaults: the reference's attractor layers call ``dist(dx)``
+    with NO alpha/gamma arguments (attractor.py:120,126,195,199), so the
+    @torch.jit.script defaults alpha=300 gamma=2 are what every shipped
+    ZoeDepth checkpoint actually ran with — the configured
+    attractor_alpha=1000 is dead. The flax layers reproduce that.
+    """
     return dx / (1.0 + alpha * dx**gamma)
 
 
-def exp_attractor(dx, alpha, gamma):
-    """dc = exp(-alpha |dx|^gamma) dx (attractor.py:29-42)."""
+def exp_attractor(dx, alpha=300.0, gamma=2.0):
+    """dc = exp(-alpha |dx|^gamma) dx (attractor.py:29-42; same dead-config
+    default story as inv_attractor)."""
     return jnp.exp(-alpha * jnp.abs(dx) ** gamma) * dx
 
 
@@ -84,6 +107,32 @@ class SeedBinRegressorUnnormed(nn.Module):
         y = nn.Conv(self.n_bins, (1, 1), name="c2")(y)
         centers = nn.softplus(y)
         return centers, centers
+
+
+class SeedBinRegressor(nn.Module):
+    """Normed (bounded) bin centers: eps-shifted relu widths normalized to
+    sum 1, scaled to (max-min), min_depth-padded cumsum edges, midpoint
+    centers (localbins_layers.py SeedBinRegressor — the 'normed'
+    bin_centers_type used by ZoeD_K)."""
+
+    n_bins: int
+    min_depth: float
+    max_depth: float
+    mlp_dim: int = 256
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.Conv(self.mlp_dim, (1, 1), name="c1")(x)
+        y = nn.relu(y)
+        y = nn.Conv(self.n_bins, (1, 1), name="c2")(y)
+        y = nn.relu(y) + 1e-3
+        widths_normed = y / jnp.sum(y, axis=-1, keepdims=True)
+        widths = (self.max_depth - self.min_depth) * widths_normed
+        widths = jnp.pad(widths, [(0, 0)] * (widths.ndim - 1) + [(1, 0)],
+                         constant_values=self.min_depth)
+        edges = jnp.cumsum(widths, axis=-1)
+        centers = 0.5 * (edges[..., :-1] + edges[..., 1:])
+        return widths_normed, centers
 
 
 class Projector(nn.Module):
@@ -121,12 +170,63 @@ class AttractorLayerUnnormed(nn.Module):
         b_centers = _resize(b_prev, x.shape[1], x.shape[2])
         dist = inv_attractor if self.attractor_type == "inv" else exp_attractor
         dx = a[..., :, None] - b_centers[..., None, :]     # (B, h, w, A, nbins)
-        delta = dist(dx, self.alpha, self.gamma)
+        # dist() deliberately called with its DEFAULTS (alpha=300, gamma=2):
+        # the reference never forwards the configured values (attractor.py:120)
+        delta = dist(dx)
         delta = jnp.sum(delta, axis=-2)
         if self.kind == "mean":
             delta = delta / self.n_attractors
         b_new = b_centers + delta
         return b_new, b_new
+
+
+class AttractorLayer(nn.Module):
+    """attractor.py AttractorLayer (the 'normed' variant): attractor points
+    in normalized bin space pull the normed centers; scaled centers are
+    sorted and clipped to (min_depth, max_depth).
+
+    Faithfully reproduces the reference's shipped behavior where the
+    "normalization" of attractor points is overwritten by the raw
+    eps-shifted first channel (attractor.py:104-107: ``A_normed = A / A.sum
+    (dim=2, ...)`` is immediately replaced by ``A[:, :, 0, ...]``) — the
+    conv emits 2*n_attractors channels but only the even ones are used.
+    """
+
+    n_attractors: int
+    alpha: float
+    gamma: float
+    kind: str
+    attractor_type: str
+    min_depth: float
+    max_depth: float
+    mlp_dim: int = 128
+
+    @nn.compact
+    def __call__(self, x, b_prev, prev_b_embedding=None):
+        if prev_b_embedding is not None:
+            prev_b_embedding = _resize(prev_b_embedding, x.shape[1], x.shape[2])
+            x = x + prev_b_embedding
+        a = nn.Conv(self.mlp_dim, (1, 1), name="c1")(x)
+        a = nn.relu(a)
+        a = nn.Conv(self.n_attractors * 2, (1, 1), name="c2")(a)
+        a = nn.relu(a) + 1e-3
+        # (B, h, w, A, 2) in NHWC; torch's channel-dim view (n, A, 2, h, w)
+        # pairs channel 2i with 2i+1 the same way
+        a = a.reshape(a.shape[:-1] + (self.n_attractors, 2))
+        points = a[..., 0]                                 # (B, h, w, A)
+
+        b_centers = _resize(b_prev, x.shape[1], x.shape[2])
+        dist = inv_attractor if self.attractor_type == "inv" else exp_attractor
+        dx = points[..., :, None] - b_centers[..., None, :]
+        # defaults, not self.alpha/gamma — see inv_attractor docstring
+        delta = jnp.sum(dist(dx), axis=-2)
+        if self.kind == "mean":
+            delta = delta / self.n_attractors
+        b_new = b_centers + delta
+        scaled = (self.max_depth - self.min_depth) * b_new + self.min_depth
+        scaled = jnp.sort(scaled, axis=-1)
+        scaled = jnp.clip(scaled, self.min_depth, self.max_depth)
+        return b_new, scaled
 
 
 class ConditionalLogBinomial(nn.Module):
@@ -201,17 +301,33 @@ class FlaxZoeDepth(nn.Module):
         x_blocks = (r4, r3, r2, r1)
 
         xb = nn.Conv(btlnck.shape[-1], (1, 1), name="conv2")(btlnck)
-        _, seed_centers = SeedBinRegressorUnnormed(
-            c.n_bins, name="seed_bin_regressor")(xb)
-        b_prev = seed_centers
+        normed = c.bin_centers_type == "normed"
+        if normed:
+            # ZoeD_K path: bounded centers, seed normalized to [0, 1]
+            # (zoedepth_v1.py:154-158)
+            _, seed_centers = SeedBinRegressor(
+                c.n_bins, c.min_depth, c.max_depth,
+                name="seed_bin_regressor")(xb)
+            b_prev = (seed_centers - c.min_depth) / (c.max_depth - c.min_depth)
+        else:
+            _, seed_centers = SeedBinRegressorUnnormed(
+                c.n_bins, name="seed_bin_regressor")(xb)
+            b_prev = seed_centers
         prev_emb = Projector(c.bin_embedding_dim, name="seed_projector")(xb)
 
         for i, (blk, n_att) in enumerate(zip(x_blocks, c.n_attractors)):
             emb = Projector(c.bin_embedding_dim, name=f"projector{i}")(blk)
-            b_prev, b_centers = AttractorLayerUnnormed(
-                n_att, c.attractor_alpha, c.attractor_gamma,
-                c.attractor_kind, c.attractor_type, name=f"attractor{i}",
-            )(emb, b_prev, prev_emb)
+            if normed:
+                b_prev, b_centers = AttractorLayer(
+                    n_att, c.attractor_alpha, c.attractor_gamma,
+                    c.attractor_kind, c.attractor_type,
+                    c.min_depth, c.max_depth, name=f"attractor{i}",
+                )(emb, b_prev, prev_emb)
+            else:
+                b_prev, b_centers = AttractorLayerUnnormed(
+                    n_att, c.attractor_alpha, c.attractor_gamma,
+                    c.attractor_kind, c.attractor_type, name=f"attractor{i}",
+                )(emb, b_prev, prev_emb)
             prev_emb = emb
 
         last = out_conv
@@ -242,9 +358,10 @@ class FlaxZoeDepthEstimator:
     Random-initialized unless given params (no checkpoint egress here)."""
 
     def __init__(self, cfg: ZoeDepthConfig | None = None, params=None,
-                 seed: int = 0, pad_aug: bool = True, flip_aug: bool = True):
+                 seed: int = 0, pad_aug: bool = True, flip_aug: bool = True,
+                 model_cls=None):
         self.cfg = cfg or ZoeDepthConfig.tiny()
-        self.model = FlaxZoeDepth(self.cfg)
+        self.model = (model_cls or FlaxZoeDepth)(self.cfg)
         if params is None:
             h, w = self.cfg.img_size
             params = self.model.init(

@@ -11,6 +11,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Sequence
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
@@ -40,9 +41,37 @@ NK_BIN_CONFS = (
 )
 
 
+class _EncoderLayer(nn.Module):
+    """One torch ``nn.TransformerEncoderLayer`` (its default POST-norm form:
+    ``x = norm1(x + attn(x)); x = norm2(x + ff(x))``, relu FF)."""
+
+    embedding_dim: int
+    num_heads: int
+    ff_dim: int = 1024
+
+    @nn.compact
+    def __call__(self, x):                                   # (B, S, E)
+        B, S, E = x.shape
+        hd = E // self.num_heads
+        qkv = nn.Dense(3 * E, name="qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        split = lambda t: t.reshape(B, S, self.num_heads, hd)
+        attn = jnp.einsum("bqhd,bkhd->bhqk", split(q), split(k)) / np.sqrt(hd)
+        attn = jax.nn.softmax(attn, axis=-1)
+        h = jnp.einsum("bhqk,bkhd->bqhd", attn, split(v)).reshape(B, S, E)
+        h = nn.Dense(E, name="proj")(h)
+        x = nn.LayerNorm(name="norm1")(x + h)
+        h = nn.Dense(self.ff_dim, name="fc1")(x)
+        h = nn.relu(h)
+        h = nn.Dense(E, name="fc2")(h)
+        return nn.LayerNorm(name="norm2")(x + h)
+
+
 class PatchTransformerEncoder(nn.Module):
-    """patch_transformer.py: PxP conv embedding + sinusoidal positions +
-    4-layer transformer encoder; returns the class-token embedding."""
+    """patch_transformer.py: PxP conv embedding + a ZERO class token
+    (``F.pad(embeddings, (1, 0))`` — not a learned parameter,
+    patch_transformer.py:83-85), sinusoidal positions, 4 post-norm encoder
+    layers; returns the class-token embedding."""
 
     embedding_dim: int = 128
     patch_size: int = 1
@@ -56,9 +85,7 @@ class PatchTransformerEncoder(nn.Module):
                     strides=(self.patch_size, self.patch_size),
                     name="embed")(x)
         tokens = e.reshape(B, -1, self.embedding_dim)
-        cls = self.param("cls", nn.initializers.normal(0.02),
-                         (1, 1, self.embedding_dim))
-        tokens = jnp.concatenate([jnp.tile(cls, (B, 1, 1)), tokens], axis=1)
+        tokens = jnp.pad(tokens, ((0, 0), (1, 0), (0, 0)))   # zero cls token
 
         # sinusoidal positional encoding (patch_transformer.py:51-67)
         S = tokens.shape[1]
@@ -69,15 +96,8 @@ class PatchTransformerEncoder(nn.Module):
         tokens = tokens + pe[None, :, : self.embedding_dim]
 
         for i in range(self.num_layers):
-            h = nn.LayerNorm(name=f"ln1_{i}")(tokens)
-            h = nn.MultiHeadDotProductAttention(
-                num_heads=self.num_heads, name=f"attn_{i}")(h, h)
-            tokens = tokens + h
-            h = nn.LayerNorm(name=f"ln2_{i}")(tokens)
-            h = nn.Dense(1024, name=f"fc1_{i}")(h)
-            h = nn.relu(h)
-            h = nn.Dense(self.embedding_dim, name=f"fc2_{i}")(h)
-            tokens = tokens + h
+            tokens = _EncoderLayer(self.embedding_dim, self.num_heads,
+                                   name=f"layer{i}")(tokens)
         return tokens[:, 0]                                  # class token
 
 
@@ -121,31 +141,38 @@ class FlaxZoeDepthNK(nn.Module):
         ]
         depths = []
         for conf in self.bin_confs:
+            # both reference bin confs use n_bins == 64 == the model n_bins
+            # (config_zoedepth_nk.json); scaling with cfg.n_bins keeps the
+            # tiny config consistent
             _, seed = SeedBinRegressorUnnormed(
-                conf.n_bins, mlp_dim=c.bin_embedding_dim // 2,
+                c.n_bins, mlp_dim=c.bin_embedding_dim // 2,
                 name=f"seed_bin_{conf.name}")(xb)
             b_prev = seed
             emb_prev = prev_emb
             b_centers = seed
-            for i, (blk, n_att) in enumerate(zip(x_blocks, c.n_attractors)):
+            for i, blk in enumerate(x_blocks):
                 emb = projectors[i](blk)
+                # NK passes n_attractors[i] POSITIONALLY into the n_bins
+                # slot (zoedepth_nk_v1.py:146-152), so every layer really
+                # has the default 16 attractor points and mlp_dim =
+                # bin_embedding_dim — reproduced faithfully
                 b_prev, b_centers = AttractorLayerUnnormed(
-                    n_att, c.attractor_alpha, c.attractor_gamma,
+                    16, c.attractor_alpha, c.attractor_gamma,
                     c.attractor_kind, c.attractor_type,
+                    mlp_dim=c.bin_embedding_dim,
                     name=f"attractor{i}_{conf.name}",
                 )(emb, b_prev, emb_prev)
                 emb_prev = emb
 
+            # NK feeds out_conv alone to the CLB — NO rel-depth concat
+            # (zoedepth_nk_v1.py:222-229; last_in = N_MIDAS_OUT = 32, vs
+            # the N variant's 33) — and does not clip the softplus centers
             last = out_conv
-            rel_cond = _resize(rel_depth[..., None], last.shape[1],
-                               last.shape[2])
-            last = jnp.concatenate([last, rel_cond], axis=-1)
             emb_up = _resize(emb_prev, last.shape[1], last.shape[2])
             probs = ConditionalLogBinomial(
-                conf.n_bins, c.min_temp, c.max_temp,
+                c.n_bins, c.min_temp, c.max_temp, bottleneck_factor=4,
                 name=f"clb_{conf.name}")(last, emb_up)
             centers = _resize(b_centers, probs.shape[1], probs.shape[2])
-            centers = jnp.clip(centers, conf.min_depth, conf.max_depth)
             d = jnp.sum(probs * centers, axis=-1)
             B, H, W, _ = x.shape
             depths.append(_resize(d[..., None], H, W)[..., 0])
