@@ -97,13 +97,14 @@ def _resize_rel_pos_table(table: np.ndarray, grid_hw: tuple[int, int]):
     n_special = 3
     grid = table[:-n_special]
     heads = table.shape[1]
+    if grid.shape[0] == th * tw:        # already at the target grid
+        return table.astype(np.float32)
     src = int(round(np.sqrt(grid.shape[0])))
     if src * src != grid.shape[0]:
         raise ValueError(
-            f"rel-pos table grid {grid.shape[0]} is not square; cannot resize"
+            f"rel-pos table grid {grid.shape[0]} matches neither the target "
+            f"{th}x{tw} nor a square source; cannot resize"
         )
-    if (src, src) == (th, tw):
-        return table.astype(np.float32)
     g = grid.reshape(src, src, heads)
 
     def interp_axis(a, n_out, axis):

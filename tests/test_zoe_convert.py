@@ -123,6 +123,7 @@ class TwinBlock(nn.Module):
 class TwinViT(nn.Module):
     def __init__(self, c: ViTConfig, grid):
         super().__init__()
+        self.hooks = tuple(c.hooks)
         self.patch_embed = nn.Module()
         self.patch_embed.proj = nn.Conv2d(
             3, c.embed_dim, c.patch_size, stride=c.patch_size
@@ -139,9 +140,10 @@ class TwinViT(nn.Module):
         x = x.flatten(2).transpose(1, 2)
         x = torch.cat([self.cls_token.expand(B, -1, -1), x], 1)
         feats = []
-        for blk in self.blocks:
+        for i, blk in enumerate(self.blocks):
             x = blk(x)
-            feats.append(x)
+            if i in self.hooks:
+                feats.append(x)
         return feats
 
 
@@ -726,6 +728,77 @@ def test_nk_converted_tree_structure_matches_init():
     got_flat = {jax.tree_util.keystr(p): np.shape(l) for p, l in
                 jax.tree_util.tree_flatten_with_path(variables)[0]}
     assert ref_flat == got_flat
+
+
+@pytest.mark.slow
+def test_full_size_zoed_n_torch_twin_parity(rng):
+    """The FULL BEiT-L-384 geometry (embed 1024, 24 blocks, 16 heads, hooks
+    5/11/17/23, DPT 256, 384x512) through the converter, random weights:
+    catches the shape/indexing bugs the tiny config hides (hook indices past
+    block 3, 47x63 rel-pos grids, 1024-dim qkv bias composition).
+    Ref: hubconf.py:66, depth_model.py:57-128."""
+    from luciddreamer_tpu.models.zoedepth import ZoeDepthConfig
+
+    torch.manual_seed(0)
+    g = torch.Generator().manual_seed(23)
+    cfg = ZoeDepthConfig()                      # the production ZoeD_N config
+    twin = TwinZoe(cfg).eval()
+    _rand_init(twin, g)
+    sd = {k: v.detach().numpy() for k, v in twin.state_dict().items()}
+
+    variables = convert_zoedepth_state_dict(sd, cfg)
+    flax_model = FlaxZoeDepth(cfg)
+
+    x = rng.uniform(size=(1, 384, 512, 3)).astype(np.float32)
+    with torch.no_grad():
+        out_t = twin(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    out_j = flax_model.apply(variables, jnp.asarray(x))
+
+    # random init drives activations to ~1e5 through 24 blocks, so a few
+    # pixels accumulate percent-level fp32 drift; real checkpoints are far
+    # tamer.  Bound the tail loosely and the bulk tightly.
+    rel_t = out_t["rel_depth"].numpy()
+    rel_j = np.asarray(out_j["rel_depth"])
+    np.testing.assert_allclose(rel_j, rel_t, atol=1e-3, rtol=5e-2)
+    frac_tight = np.mean(
+        np.abs(rel_j - rel_t) <= 1e-3 + 1e-2 * np.abs(rel_t)
+    )
+    assert frac_tight > 0.999, frac_tight
+    # expected depth = sum(softmax * centers) is hypersensitive to fp noise
+    # at random-weight temperatures: bound the bulk tightly, the tail sanely
+    d_t = out_t["metric_depth"].numpy()
+    d_j = np.asarray(out_j["metric_depth"])
+    assert np.isfinite(d_j).all()
+    rel_err = np.abs(d_j - d_t) / (np.abs(d_t) + 1e-3)
+    assert np.mean(rel_err <= 1e-2) > 0.999, np.mean(rel_err <= 1e-2)
+    assert np.max(rel_err) < 0.5, np.max(rel_err)
+
+
+@pytest.mark.slow
+def test_full_size_rel_pos_resize_through_converter():
+    """A 384x384-trained state dict (47x47 rel-pos grids, as the released
+    ZoeD_N checkpoint ships) converted for 384x512 inference must come out
+    with 47x63+3 tables equal to the validated bilinear resize."""
+    from luciddreamer_tpu.models.zoedepth import ZoeDepthConfig
+
+    cfg = ZoeDepthConfig()
+    sq_cfg = dataclasses.replace(cfg, img_size=(384, 384))
+    torch.manual_seed(1)
+    g = torch.Generator().manual_seed(29)
+    twin = TwinZoe(sq_cfg)                      # grid 24x24 -> 47x47 tables
+    _rand_init(twin, g)
+    sd = {k: v.detach().numpy() for k, v in twin.state_dict().items()}
+
+    variables = convert_zoedepth_state_dict(sd, cfg)   # target 384x512
+    t0 = sd[
+        "core.core.pretrained.model.blocks.0.attn"
+        ".relative_position_bias_table"
+    ]
+    got = variables["params"]["core"]["vit"]["block0"]["attn"]["rel_pos"][
+        "rel_pos_table"
+    ]
+    assert got.shape == (47 * 63 + 3, 16)
+    np.testing.assert_allclose(got, _resize_rel_pos_table(t0, (24, 32)))
 
 
 def test_converted_param_tree_structure_matches_init(rng):
