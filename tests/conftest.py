@@ -23,6 +23,13 @@ import jax  # noqa: E402
 
 if not _USE_TPU:
     jax.config.update("jax_platforms", "cpu")
+else:
+    # TPU compiles are minutes cold; share the persistent cache the bench
+    # and smoke scripts use so repeated runs are seconds
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp"),
+    )
 
 jax.config.update("jax_enable_x64", False)
 
