@@ -58,11 +58,16 @@ def main():
     cam = make_camera(np.eye(4), 0.8279, 0.8279, W, H)
     bg = jnp.zeros(3)
     backend = "pallas" if jax.default_backend() == "tpu" else "xla"
-    pair_cap = 4_000_000
+    # ~8% headroom over the scene's true pair count (2.76M with the round-5
+    # anisotropy-tightened rects) — the non-overflow assert below guards it,
+    # and production grows capacity on overflow anyway.  chunk 256 halves
+    # the per-segment program count of the blend walk (fastest measured of
+    # 128/256/512 on v5e).
+    pair_cap = 3_000_000
 
     def loss(pdict):
         p = GaussianParams.from_param_pytree(pdict, params.alive)
-        out = render_tiled(p, cam, bg, active_sh_degree=3, chunk=128,
+        out = render_tiled(p, cam, bg, active_sh_degree=3, chunk=256,
                            pair_cap=pair_cap, backend=backend)
         l = (jnp.mean(jnp.abs(out["render"] - 0.5))
              + 0.1 * jnp.mean(out["depth"]))

@@ -50,20 +50,24 @@ def make_mesh(devices=None, data: int = 1, tiles: Optional[int] = None) -> Mesh:
 def _restrict_rows(proc: ProcessedGaussians, ty0, grid_y_local: int,
                    grid_x: int) -> ProcessedGaussians:
     """Clip every Gaussian's tile rect to tile rows [ty0, ty0+grid_y_local)
-    (local coordinates); recompute tiles_touched/visibility."""
+    (local coordinates); recompute tiles_touched.
+
+    ``visible``/``radius`` are deliberately left band-INdependent: they
+    follow the reference's 3-sigma rect (forward.cu:229-236) while the
+    binning rect is opacity/anisotropy-tightened (render/preprocess.py), so
+    a gaussian whose tight rect misses every band must still report its
+    radius for densification bookkeeping — zeroing it per band would make
+    the sharded radii disagree with the single-device render."""
     rmin = proc.rect_min
     rmax = proc.rect_max
     new_min_y = jnp.clip(rmin[:, 1] - ty0, 0, grid_y_local)
     new_max_y = jnp.clip(rmax[:, 1] - ty0, 0, grid_y_local)
     tiles = (rmax[:, 0] - rmin[:, 0]) * (new_max_y - new_min_y)
-    visible = proc.visible & (tiles > 0)
-    tiles = jnp.where(visible, tiles, 0)
+    tiles = jnp.where(proc.visible & (tiles > 0), tiles, 0)
     return proc.replace(
         rect_min=jnp.stack([rmin[:, 0], new_min_y], axis=-1),
         rect_max=jnp.stack([rmax[:, 0], new_max_y], axis=-1),
         tiles_touched=tiles,
-        visible=visible,
-        radius=jnp.where(visible, proc.radius, 0),
     )
 
 

@@ -76,43 +76,48 @@ def preprocess_gaussians(
     radius_f = jnp.ceil(3.0 * sigma_max)            # reported radius: 3-sigma
     #                                                 parity (forward.cu:232)
 
-    # --- tile rect (auxiliary.h:46-56), opacity-tightened ---
+    # --- tile rect (auxiliary.h:46-56), opacity- AND anisotropy-tightened ---
     # The blend skips every pair with alpha = op * exp(power) < 1/255
-    # (forward.cu:348-349), and power <= -d^2 / (2 * lambda_max), so pixels
-    # beyond r_eff = sigma_max * sqrt(2 ln(255 op)) are EXACT no-ops (zero
-    # contribution and zero gradient in the reference too).  Tiles are
-    # therefore binned with min(3, sqrt(2 ln(255 op))) sigma — identical
-    # output, substantially fewer (gaussian, tile) pairs for low opacity
-    # (e.g. op=0.01 after an opacity reset covers ~5% of the 3-sigma area).
-    # The floor keeps r_eff >= 1 px so radii/visibility stay reference-equal.
-    r_eff = jnp.ceil(
-        sigma_max
-        * jnp.minimum(
-            3.0, jnp.sqrt(2.0 * jnp.maximum(jnp.log(255.0 * opacity), 5e-3))
-        )
-    )
+    # (forward.cu:348-349).  The level set alpha == 1/255 is the ellipse
+    # d^T Sigma^{-1} d = c with c = 2 ln(255 op), whose tight axis-aligned
+    # bounding box has half-widths sqrt(c * Sigma_xx) and sqrt(c * Sigma_yy):
+    # any pixel with |dx| > sqrt(c * Sigma_xx) satisfies d^T Sigma^{-1} d >=
+    # dx^2 / Sigma_xx > c, i.e. alpha < 1/255 — an EXACT no-op (zero
+    # contribution and zero gradient in the reference too, which skips the
+    # pair).  Intersecting with the reference's 3 sigma_max square (so no
+    # pair is ever ADDED relative to forward.cu:229-232) gives identical
+    # output with far fewer (gaussian, tile) pairs: low opacity shrinks c
+    # (op=0.01 after a reset covers ~5% of the 3-sigma area) and anisotropy
+    # shrinks the minor axis (a thin sliver no longer pays a square box of
+    # its major axis).  The floor on c keeps radii/visibility reference-equal.
+    c_level = 2.0 * jnp.maximum(jnp.log(255.0 * opacity), 5e-3)
+    r3s = 3.0 * sigma_max
+    rx = jnp.ceil(jnp.minimum(r3s, jnp.sqrt(c_level * cov2d[..., 0])))
+    ry = jnp.ceil(jnp.minimum(r3s, jnp.sqrt(c_level * cov2d[..., 2])))
     grid_x = (camera.width + tile_size - 1) // tile_size
     grid_y = (camera.height + tile_size - 1) // tile_size
     px, py = mean2d[..., 0], mean2d[..., 1]
 
-    def rect(r):
-        min_x = jnp.clip(((px - r) / tile_size).astype(jnp.int32), 0, grid_x)
-        min_y = jnp.clip(((py - r) / tile_size).astype(jnp.int32), 0, grid_y)
+    def rect(rx, ry):
+        min_x = jnp.clip(((px - rx) / tile_size).astype(jnp.int32), 0, grid_x)
+        min_y = jnp.clip(((py - ry) / tile_size).astype(jnp.int32), 0, grid_y)
         max_x = jnp.clip(
-            ((px + r + tile_size - 1) / tile_size).astype(jnp.int32), 0, grid_x
+            ((px + rx + tile_size - 1) / tile_size).astype(jnp.int32), 0,
+            grid_x,
         )
         max_y = jnp.clip(
-            ((py + r + tile_size - 1) / tile_size).astype(jnp.int32), 0, grid_y
+            ((py + ry + tile_size - 1) / tile_size).astype(jnp.int32), 0,
+            grid_y,
         )
         return min_x, min_y, max_x, max_y
 
-    rect_min_x, rect_min_y, rect_max_x, rect_max_y = rect(r_eff)
+    rect_min_x, rect_min_y, rect_max_x, rect_max_y = rect(rx, ry)
     tiles = (rect_max_x - rect_min_x) * (rect_max_y - rect_min_y)
     # visibility & reported radius come from the reference's 3-sigma rect
     # (forward.cu:229-236) so radii / visibility_filter / densification
     # bookkeeping match it exactly even when the tightened rect clips empty
     # at the viewport border
-    r3 = rect(radius_f)
+    r3 = rect(radius_f, radius_f)
     tiles_ref = (r3[2] - r3[0]) * (r3[3] - r3[1])
 
     visible = in_front & det_ok & (tiles_ref > 0) & params.alive
