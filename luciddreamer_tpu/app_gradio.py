@@ -12,10 +12,18 @@ from __future__ import annotations
 import glob
 import os
 
-# backend choices shown in the UI — the registry names from
-# dream.protocols; the reference offers 4 SD checkpoints here (app.py:36-47)
+# backend choices shown in the UI — the registry names from dream.protocols
 INPAINTER_CHOICES = ["classic", "sd", "sd_controlnet", "lama"]
 DEPTH_CHOICES = ["radial", "zoedepth_flax", "zoedepth"]
+
+# SD checkpoint choices for the sd/sd_controlnet backends — the full
+# reference app's 4 checkpoints (app.py:36-47), as HF repo ids
+SD_CHECKPOINTS = {
+    "SD1.5 (default)": None,
+    "Blazing Drive V11m": "ironjr/BlazingDriveV11m",
+    "RealCartoon-Pixar V5": "ironjr/RealCartoon-PixarV5",
+    "Realistic Vision V5.1": "ironjr/RealisticVisionV5-1",
+}
 
 
 def find_examples(root: str | None = None):
@@ -50,36 +58,54 @@ def build_demo(save_dir: str = "./gradio_output"):
     from luciddreamer_tpu.app import LucidDreamerTPU
     from luciddreamer_tpu.dream import DreamConfig
 
-    state = {"ld": None, "backends": (None, None)}
+    state = {"ld": None, "backends": None, "has_scene": False}
 
-    def get_ld(inpainter, depth_model):
-        if state["ld"] is None or state["backends"] != (inpainter,
-                                                        depth_model):
+    def get_ld(inpainter, depth_model, ckpt_label):
+        key = (inpainter, depth_model, ckpt_label)
+        if state["ld"] is None or state["backends"] != key:
             state["ld"] = LucidDreamerTPU(
                 dream_config=DreamConfig(
                     inpainter=inpainter, depth_estimator=depth_model,
+                    model_name=SD_CHECKPOINTS.get(ckpt_label),
                 ),
                 save_dir=save_dir,
             )
-            state["backends"] = (inpainter, depth_model)
+            state["backends"] = key
+            state["has_scene"] = False
         return state["ld"]
 
     def create_only(image, prompt, neg_prompt, campath_gen, seed,
-                    diff_steps, inpainter, depth_model):
-        ld = get_ld(inpainter, depth_model)
-        return ld.create(image, prompt, neg_prompt, campath_gen, int(seed),
-                         int(diff_steps))
+                    diff_steps, inpainter, depth_model, ckpt_label):
+        ld = get_ld(inpainter, depth_model, ckpt_label)
+        out = ld.create(image, prompt, neg_prompt, campath_gen, int(seed),
+                        int(diff_steps))
+        state["has_scene"] = True
+        return out
 
-    def render_only(campath_render, inpainter, depth_model):
-        ld = get_ld(inpainter, depth_model)
-        rgb_path, depth_path = ld.render_video(campath_render)
+    def render_only(campath_render, inpainter, depth_model, ckpt_label):
+        # changing a backend dropdown rebuilds the pipeline and discards
+        # any baked scene — surface that instead of silently rendering an
+        # empty scene
+        key = (inpainter, depth_model, ckpt_label)
+        if state["ld"] is None or state["backends"] != key or not (
+            state["has_scene"]
+        ):
+            import gradio as gr
+
+            raise gr.Error(
+                "No scene is baked for the selected backends — run "
+                "'Create scene' first (changing a model dropdown resets "
+                "the pipeline)."
+            )
+        rgb_path, depth_path = state["ld"].render_video(campath_render)
         return rgb_path, depth_path
 
     def run_all(image, prompt, neg_prompt, campath_gen, campath_render,
-                seed, diff_steps, inpainter, depth_model):
+                seed, diff_steps, inpainter, depth_model, ckpt_label):
         create_only(image, prompt, neg_prompt, campath_gen, seed,
-                    diff_steps, inpainter, depth_model)
-        return render_only(campath_render, inpainter, depth_model)
+                    diff_steps, inpainter, depth_model, ckpt_label)
+        return render_only(campath_render, inpainter, depth_model,
+                           ckpt_label)
 
     with gr.Blocks(title="LucidDreamer-TPU") as demo:
         gr.Markdown("# LucidDreamer-TPU: image + text -> 3D Gaussian scene")
@@ -91,6 +117,10 @@ def build_demo(save_dir: str = "./gradio_output"):
                 inpainter = gr.Dropdown(
                     INPAINTER_CHOICES, value="classic",
                     label="Inpainting model",
+                )
+                sd_ckpt = gr.Dropdown(
+                    list(SD_CHECKPOINTS), value="SD1.5 (default)",
+                    label="SD checkpoint (sd / sd_controlnet backends)",
                 )
                 depth_model = gr.Dropdown(
                     DEPTH_CHOICES, value="radial", label="Depth model",
@@ -124,17 +154,17 @@ def build_demo(save_dir: str = "./gradio_output"):
         btn_run.click(
             run_all,
             [image, prompt, neg, campath_gen, campath_render, seed, steps,
-             inpainter, depth_model],
+             inpainter, depth_model, sd_ckpt],
             [vid_rgb, vid_depth],
         )
         btn_create.click(
             create_only,
             [image, prompt, neg, campath_gen, seed, steps, inpainter,
-             depth_model],
+             depth_model, sd_ckpt],
             [ply_file],
         )
         btn_render.click(
-            render_only, [campath_render, inpainter, depth_model],
+            render_only, [campath_render, inpainter, depth_model, sd_ckpt],
             [vid_rgb, vid_depth],
         )
     return demo

@@ -28,6 +28,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Camera trajectory for video rendering")
     p.add_argument("--inpainter", type=str, default="classic",
                    help="Inpainting backend (classic | sd | registered name)")
+    p.add_argument("--model_name", "-m", type=str, default=None,
+                   help="SD checkpoint for sd/sd_controlnet backends: HF "
+                        "repo id, local diffusers dir, or a .safetensors "
+                        "file (converted once, reference run.py:17,53-63)")
     p.add_argument("--depth_model", type=str, default="radial",
                    help="Depth backend (radial | zoedepth | zoedepth_flax)")
     p.add_argument("--seed", type=int, default=1)
@@ -60,7 +64,7 @@ def main(argv=None):
 
     from luciddreamer_tpu.app import LucidDreamerTPU
     from luciddreamer_tpu.config import CameraConfig, GSConfig
-    from luciddreamer_tpu.dream import DreamConfig
+    from luciddreamer_tpu.dream import DreamConfig, resolve_sd_checkpoint
 
     rgb_cond = Image.open(args.image).convert("RGB")
     txt = read_text(args.text)
@@ -86,7 +90,11 @@ def main(argv=None):
         cam_config=CameraConfig(image_width=s, image_height=s,
                                 focal=(focal, focal)),
         dream_config=DreamConfig(
-            inpainter=args.inpainter, depth_estimator=args.depth_model
+            inpainter=args.inpainter, depth_estimator=args.depth_model,
+            model_name=resolve_sd_checkpoint(
+                args.model_name,
+                out_root=os.path.join(args.save_dir, "stablediffusion"),
+            ),
         ),
         save_dir=args.save_dir,
         seed=args.seed,

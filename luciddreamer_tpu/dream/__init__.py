@@ -6,6 +6,7 @@ from luciddreamer_tpu.dream.protocols import (
     RadialDepth,
     get_inpainter,
     get_depth_estimator,
+    resolve_sd_checkpoint,
 )
 
 __all__ = [
@@ -17,4 +18,5 @@ __all__ = [
     "RadialDepth",
     "get_inpainter",
     "get_depth_estimator",
+    "resolve_sd_checkpoint",
 ]

@@ -42,6 +42,9 @@ ANCHOR_CAP = 8192      # static capacity for border-compensation anchors
 class DreamConfig:
     inpainter: str = "classic"
     depth_estimator: str = "radial"
+    model_name: str | None = None  # SD checkpoint (HF id / diffusers dir)
+    #                                for sd / sd_controlnet backends
+    #                                (reference run.py:17, --model_name)
     align: str = "closed_form"     # "closed_form" | "adam" | "reference"
     fill_iters: int = 8
     store_frame_depth: bool = True  # extra vs reference: keep warped depth
@@ -235,7 +238,8 @@ def generate_pcd(
     + Blender c2w matrices (and, beyond the reference, warped depths)."""
     cfg = config or DreamConfig()
     cam = cam or CameraConfig()
-    inpainter = inpainter or get_inpainter(cfg.inpainter)
+    inpainter = inpainter or get_inpainter(cfg.inpainter,
+                                           model=cfg.model_name)
     depth_estimator = depth_estimator or get_depth_estimator(cfg.depth_estimator)
     H, W = cam.image_height, cam.image_width
     K = jnp.asarray(cam.K)

@@ -135,14 +135,55 @@ def register_depth_estimator(name: str, factory):
     _DEPTH[name] = factory
 
 
-def get_inpainter(name: str = "classic") -> Inpainter:
+def get_inpainter(name: str = "classic", model: str | None = None) -> Inpainter:
+    """Build a registered inpainter; ``model`` optionally selects the SD
+    checkpoint (HF repo id or local diffusers dir) for backends that take
+    one — the role of the reference's ``--model_name`` / ``load_model``
+    checkpoint swap (run.py:17, luciddreamer.py:81-111)."""
     if name == "sd" and "sd" not in _INPAINTERS:
         _register_sd()
     if name == "lama" and "lama" not in _INPAINTERS:
         _register_lama()
     if name == "sd_controlnet" and "sd_controlnet" not in _INPAINTERS:
         _register_sd_controlnet()
-    return _INPAINTERS[name]()
+    factory = _INPAINTERS[name]
+    if model is not None:
+        import inspect
+
+        try:
+            takes_model = "model" in inspect.signature(factory).parameters
+        except (TypeError, ValueError):
+            takes_model = False
+        if not takes_model:
+            raise ValueError(
+                f"inpainter {name!r} does not accept a checkpoint; "
+                "use 'sd' or 'sd_controlnet' (or a factory with a "
+                "'model' parameter) with --model_name"
+            )
+        return factory(model=model)
+    return factory()
+
+
+def resolve_sd_checkpoint(model_name: str | None,
+                          out_root: str = "./stablediffusion") -> str | None:
+    """Normalize an SD checkpoint argument (reference run.py:53-63).
+
+    ``.safetensors`` files are converted once into a diffusers directory
+    under ``out_root`` (via ``from_single_file``) and the directory path is
+    returned; anything else (HF repo id / local diffusers dir / None)
+    passes through unchanged.
+    """
+    if model_name is None or not model_name.endswith("safetensors"):
+        return model_name
+    out_dir = os.path.join(
+        out_root, os.path.splitext(os.path.basename(model_name))[0]
+    )
+    if not os.path.exists(os.path.join(out_dir, "model_index.json")):
+        from diffusers import StableDiffusionInpaintPipeline  # gated
+
+        pipe = StableDiffusionInpaintPipeline.from_single_file(model_name)
+        pipe.save_pretrained(out_dir)
+    return out_dir
 
 
 def get_depth_estimator(name: str = "radial") -> DepthEstimator:

@@ -80,6 +80,68 @@ def test_sd_adapter_plumbing(monkeypatch, rng):
     assert m[12, 12] == 255 and m[0, 0] == 0
 
 
+def test_sd_checkpoint_swap(monkeypatch, rng):
+    """--model_name surface: a custom SD checkpoint reaches the diffusers
+    from_pretrained call (reference run.py:17, luciddreamer.py:81-111)."""
+    _install_fake_diffusers(monkeypatch)
+    protocols._INPAINTERS.pop("sd", None)
+
+    inp = protocols.get_inpainter("sd", model="someone/custom-inpaint")
+    assert inp.pipe.model == "someone/custom-inpaint"
+
+    # backends without a checkpoint parameter refuse one loudly
+    protocols.register_inpainter("nockpt", lambda: protocols.ClassicInpainter())
+    with pytest.raises(ValueError, match="does not accept a checkpoint"):
+        protocols.get_inpainter("nockpt", model="x")
+
+
+def test_resolve_sd_checkpoint(monkeypatch, tmp_path):
+    """safetensors -> diffusers conversion (reference run.py:53-63):
+    converted once into out_root, passthrough for ids/dirs/None."""
+    calls = []
+
+    class _FakeSingleFile:
+        @classmethod
+        def from_single_file(cls, path, **kw):
+            calls.append(path)
+            inst = cls()
+            return inst
+
+        def save_pretrained(self, out_dir, **kw):
+            import os
+
+            os.makedirs(out_dir, exist_ok=True)
+            with open(os.path.join(out_dir, "model_index.json"), "w") as f:
+                f.write("{}")
+
+    mod = types.ModuleType("diffusers")
+    mod.StableDiffusionInpaintPipeline = _FakeSingleFile
+    monkeypatch.setitem(sys.modules, "diffusers", mod)
+
+    assert protocols.resolve_sd_checkpoint(None) is None
+    assert protocols.resolve_sd_checkpoint("org/repo") == "org/repo"
+
+    ckpt = tmp_path / "myModel.safetensors"
+    ckpt.write_bytes(b"fake")
+    out = protocols.resolve_sd_checkpoint(str(ckpt),
+                                          out_root=str(tmp_path / "sd"))
+    assert out == str(tmp_path / "sd" / "myModel")
+    assert calls == [str(ckpt)]
+    # second resolve reuses the converted dir without re-converting
+    out2 = protocols.resolve_sd_checkpoint(str(ckpt),
+                                           out_root=str(tmp_path / "sd"))
+    assert out2 == out and calls == [str(ckpt)]
+
+
+def test_cli_model_name_flag():
+    from luciddreamer_tpu.cli import build_parser
+
+    args = build_parser().parse_args(
+        ["--image", "x.png", "--model_name", "org/repo"]
+    )
+    assert args.model_name == "org/repo"
+
+
 def test_lama_adapter_padding_and_composite(monkeypatch, rng):
     torch = pytest.importorskip("torch")
 
