@@ -2,9 +2,9 @@
 segment metadata for the blend walk.
 
 The XLA-native replacement for the reference's CUB prefix-sum + 64-bit radix
-sort pipeline (rasterizer_impl.cu:68-138,276-319).  Redesigned again in
-round 4 around the refined v5e cost model (tools/profile_r4b, after
-subtracting the ~25 ms axon dispatch overhead the raw numbers carry):
+sort pipeline (rasterizer_impl.cu:68-138,276-319).  Designed around the
+measured v5e cost model (steady-state protocol, tools/profile_step.py —
+dispatch-noise-free):
 
     lax.sort @3.4M       ~3-5 ms base + ~1 ms per extra carried operand
     cumsum / cummax      ~1 ms even at (4M, 16)

@@ -205,6 +205,12 @@ class Trainer:
         lines (SURVEY §5.5 — the reference only shows tqdm bars).  ``timer``
         is an optional utils.profiling.PhaseTimer.
 
+        ``callback(it, state, loss)`` receives ``loss`` as a DEVICE scalar
+        (jax.Array), not a Python float: pulling it every iteration would
+        serialize dispatch on a host round-trip and break the one-step-lag
+        pipeline below.  Call ``float(loss)`` inside the callback only if
+        you accept that per-iteration sync (or sample it every N steps).
+
         Host-sync discipline: the overflow flag of step k is pulled while
         step k+1 runs (one-step lag), so dispatch is never serialized on a
         per-iteration device round-trip.  Overflowed steps are device-side

@@ -2,6 +2,7 @@
 
 Catches wiring rot: components constructed, all three buttons bound with
 input/output lists, examples quick-load populated from examples/."""
+import os
 import sys
 import types
 
@@ -89,7 +90,14 @@ def test_find_examples_triples():
     from luciddreamer_tpu.app_gradio import find_examples
 
     ex = find_examples()
-    assert any("waterfall" in e[0] for e in ex)
-    img, prompt, neg = [e for e in ex if "waterfall" in e[0]][0]
+    # the procedural waterfall plus the ~20 reference prompt triples
+    assert len(ex) >= 20
+    img, prompt, neg = [
+        e for e in ex if e[0].endswith(os.sep + "waterfall.png")
+    ][0]
     assert "waterfall" in prompt.lower()
     assert "watermark" in neg.lower()
+    # a reference triple carries its prompt + negative prompt
+    img, prompt, neg = [e for e in ex if "modernvilla" in e[0]][0]
+    assert "villa" in prompt.lower()
+    assert "monochrome" in neg.lower()
