@@ -139,3 +139,216 @@ def load_kitti_folder(root: str, max_items: int | None = None):
         img = np.asarray(Image.open(ipath).convert("RGB"), np.float32) / 255.0
         depth = np.asarray(Image.open(dpath), np.float32) / 256.0
         yield img, depth
+
+
+def _read_rgb(path):
+    from PIL import Image
+
+    return np.asarray(Image.open(path).convert("RGB"), np.float32) / 255.0
+
+
+def _emit_pairs(pairs, max_items, read_depth):
+    pairs = sorted(pairs)
+    if max_items:
+        pairs = pairs[:max_items]
+    for ipath, dpath in pairs:
+        yield _read_rgb(ipath), read_depth(dpath).astype(np.float32)
+
+
+def load_diode_folder(root: str, max_items: int | None = None):
+    """DIODE adapter (diode.py:82-121): <root>/scene_#/scan_#/*.png with
+    sibling *_depth.npy (meters) + *_depth_mask.npy; invalid pixels -> 0."""
+    import glob
+
+    pairs = [
+        (f, f.replace(".png", "_depth.npy"))
+        for f in glob.glob(os.path.join(root, "*", "*", "*.png"))
+        if not f.endswith("_depth.png")
+        and os.path.exists(f.replace(".png", "_depth.npy"))
+    ]
+
+    def read(dpath):
+        depth = np.squeeze(np.load(dpath))
+        mpath = dpath.replace("_depth.npy", "_depth_mask.npy")
+        if os.path.exists(mpath):
+            depth = depth * (np.squeeze(np.load(mpath)) > 0)
+        return depth
+
+    yield from _emit_pairs(pairs, max_items, read)
+
+
+def load_ddad_folder(root: str, max_items: int | None = None):
+    """DDAD adapter (ddad.py:82-115): flat <root>/*_rgb.png with sibling
+    *_depth.npy in meters."""
+    import glob
+
+    pairs = [
+        (f, f.replace("_rgb.png", "_depth.npy"))
+        for f in glob.glob(os.path.join(root, "*_rgb.png"))
+        if os.path.exists(f.replace("_rgb.png", "_depth.npy"))
+    ]
+    yield from _emit_pairs(pairs, max_items,
+                           lambda d: np.squeeze(np.load(d)))
+
+
+def load_sunrgbd_folder(root: str, max_items: int | None = None):
+    """SUN RGB-D adapter (sun_rgbd_loader.py:78-104): rgb/rgb/*.jpg with
+    gt/gt/*.png (uint16 mm / 1000; depth > 8 m marked invalid as 0 —
+    the reference uses -1, normalized here to this pipeline's 0-invalid
+    convention)."""
+    import glob
+    from PIL import Image
+
+    pairs = []
+    for f in glob.glob(os.path.join(root, "rgb", "rgb", "*")):
+        d = f.replace(os.path.join("rgb", "rgb"),
+                      os.path.join("gt", "gt")).replace("jpg", "png")
+        if os.path.exists(d):
+            pairs.append((f, d))
+
+    def read(dpath):
+        depth = np.asarray(Image.open(dpath), np.float32) / 1000.0
+        return np.where(depth > 8.0, 0.0, depth)
+
+    yield from _emit_pairs(pairs, max_items, read)
+
+
+def load_diml_indoor_folder(root: str, max_items: int | None = None):
+    """DIML indoor adapter (diml_indoor_test.py:81-120):
+    LR/<scene>/color/*_c.png with depth_filled/*_depth_filled.png
+    (uint16 mm / 1000)."""
+    import glob
+    from PIL import Image
+
+    pairs = []
+    for f in glob.glob(os.path.join(root, "LR", "*", "color", "*.png")):
+        d = f.replace("color", "depth_filled").replace(
+            "_c.png", "_depth_filled.png")
+        if os.path.exists(d):
+            pairs.append((f, d))
+    yield from _emit_pairs(
+        pairs, max_items,
+        lambda d: np.asarray(Image.open(d), np.float32) / 1000.0,
+    )
+
+
+def load_diml_outdoor_folder(root: str, max_items: int | None = None):
+    """DIML outdoor adapter (diml_outdoor_test.py:78-109):
+    <root>/*/outleft/*.png with depthmap/*.png (uint16 mm / 1000)."""
+    import glob
+    from PIL import Image
+
+    pairs = []
+    for f in glob.glob(os.path.join(root, "*", "outleft", "*.png")):
+        d = f.replace("outleft", "depthmap")
+        if os.path.exists(d):
+            pairs.append((f, d))
+    yield from _emit_pairs(
+        pairs, max_items,
+        lambda d: np.asarray(Image.open(d), np.float32) / 1000.0,
+    )
+
+
+def load_ibims_folder(root: str, max_items: int | None = None):
+    """iBims-1 adapter (ibims.py:34-79): imagelist.txt naming rgb/ +
+    depth/ (uint16 * 50 / 65535 m) + mask_invalid/ + mask_transp/; masked
+    pixels -> 0 (reference uses -1)."""
+    from PIL import Image
+
+    with open(os.path.join(root, "imagelist.txt")) as f:
+        names = f.read().split()
+    if max_items:
+        names = names[:max_items]
+    for base in names:
+        img = _read_rgb(os.path.join(root, "rgb", base + ".png"))
+        depth = np.asarray(
+            Image.open(os.path.join(root, "depth", base + ".png")),
+            np.float32,
+        ) * 50.0 / 65535.0
+        for mdir in ("mask_invalid", "mask_transp"):
+            mpath = os.path.join(root, mdir, base + ".png")
+            if os.path.exists(mpath):
+                depth = depth * (np.asarray(Image.open(mpath)) > 0)
+        yield img, depth.astype(np.float32)
+
+
+def load_vkitti2_folder(root: str, max_items: int | None = None):
+    """Virtual KITTI 2 adapter (vkitti2.py:83-140):
+    rgb/**/frames/rgb/Camera_0/rgb_*.jpg with the mirrored
+    depth/.../depth_*.png (16-bit cm / 100)."""
+    import glob
+    from PIL import Image
+
+    pairs = []
+    for f in glob.glob(
+        os.path.join(root, "rgb", "**", "frames", "rgb", "Camera_0",
+                     "*.jpg"),
+        recursive=True,
+    ):
+        d = f.replace(f"{os.sep}rgb{os.sep}", f"{os.sep}depth{os.sep}").replace(
+            "rgb_", "depth_").replace(".jpg", ".png")
+        if os.path.exists(d):
+            pairs.append((f, d))
+    yield from _emit_pairs(
+        pairs, max_items,
+        lambda d: np.asarray(Image.open(d), np.float32) / 100.0,
+    )
+
+
+def hypersim_distance_to_depth(distance, focal: float = 886.81):
+    """Euclidean ray distance -> planar depth (hypersim.py:36-49)."""
+    H, W = distance.shape[:2]
+    xs = np.linspace(-0.5 * W + 0.5, 0.5 * W - 0.5, W, dtype=np.float32)
+    ys = np.linspace(-0.5 * H + 0.5, 0.5 * H - 0.5, H, dtype=np.float32)
+    norm = np.sqrt(xs[None, :] ** 2 + ys[:, None] ** 2 + focal * focal)
+    return distance * focal / norm
+
+
+def load_hypersim_folder(root: str, max_items: int | None = None):
+    """HyperSim adapter (hypersim.py:98-136):
+    <scene>/images/scene_cam_*_final_preview/*.tonemap.jpg with hdf5 ray
+    distances converted to planar depth.  Needs h5py (import-gated)."""
+    import glob
+
+    import h5py  # gated: not a base dependency
+
+    pairs = []
+    for f in glob.glob(
+        os.path.join(root, "*", "images", "scene_cam_*_final_preview",
+                     "*.tonemap.jpg")
+    ):
+        d = f.replace("_final_preview", "_geometry_hdf5").replace(
+            ".tonemap.jpg", ".depth_meters.hdf5")
+        if os.path.exists(d):
+            pairs.append((f, d))
+
+    def read(dpath):
+        with h5py.File(dpath, "r") as fd:
+            dist = np.array(fd["dataset"], np.float32)
+        return hypersim_distance_to_depth(dist)
+
+    yield from _emit_pairs(pairs, max_items, read)
+
+
+# name -> folder loader; the registry role of data_mono.DepthDataLoader's
+# dataset dispatch (data_mono.py + the 9 adapter modules)
+DATASETS = {
+    "nyu": load_nyu_folder,
+    "kitti": load_kitti_folder,
+    "diode": load_diode_folder,
+    "ddad": load_ddad_folder,
+    "sunrgbd": load_sunrgbd_folder,
+    "diml_indoor": load_diml_indoor_folder,
+    "diml_outdoor": load_diml_outdoor_folder,
+    "ibims": load_ibims_folder,
+    "vkitti2": load_vkitti2_folder,
+    "hypersim": load_hypersim_folder,
+}
+
+
+def get_depth_dataset(name: str, root: str, max_items: int | None = None):
+    """Named dataset dispatch (data_mono.py DepthDataLoader role)."""
+    if name not in DATASETS:
+        raise KeyError(f"unknown depth dataset {name!r}; have "
+                       f"{sorted(DATASETS)}")
+    return DATASETS[name](root, max_items=max_items)

@@ -200,6 +200,107 @@ def test_depth_data_pipeline(rng, tmp_path):
     assert [next(rr) for _ in range(4)] == [1, "a", 2, "b"]
 
 
+def test_depth_dataset_adapters(rng, tmp_path):
+    """Every folder adapter of the reference's dataset suite reads its
+    layout (diode/ddad/sunrgbd/diml/ibims/vkitti2 synthesized on disk;
+    hypersim needs h5py and is covered by its distance->depth math)."""
+    import os
+    from PIL import Image
+
+    from luciddreamer_tpu.models.depth_data import (
+        DATASETS,
+        get_depth_dataset,
+        hypersim_distance_to_depth,
+    )
+
+    def save_rgb(path, h=16, w=20):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        Image.fromarray(
+            (rng.uniform(size=(h, w, 3)) * 255).astype(np.uint8)
+        ).save(path)
+
+    def save_u16(path, value, h=16, w=20):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        Image.fromarray(
+            np.full((h, w), value, np.uint16), mode="I;16"
+        ).save(path)
+
+    # diode: scene/scan/*.png + *_depth.npy + *_depth_mask.npy
+    dd = tmp_path / "diode" / "scene_0" / "scan_0"
+    save_rgb(str(dd / "f.png"))
+    np.save(dd / "f_depth.npy", np.full((16, 20, 1), 3.0, np.float32))
+    mask = np.ones((16, 20, 1), bool)
+    mask[0, 0] = False
+    np.save(dd / "f_depth_mask.npy", mask)
+    (img, dep), = list(get_depth_dataset("diode", str(tmp_path / "diode")))
+    assert dep.shape == (16, 20) and dep[1, 1] == 3.0 and dep[0, 0] == 0.0
+
+    # ddad: flat *_rgb.png + *_depth.npy
+    save_rgb(str(tmp_path / "ddad" / "000_rgb.png"))
+    np.save(tmp_path / "ddad" / "000_depth.npy",
+            np.full((16, 20), 7.0, np.float32))
+    (img, dep), = list(get_depth_dataset("ddad", str(tmp_path / "ddad")))
+    assert dep[0, 0] == 7.0
+
+    # sunrgbd: rgb/rgb/*.jpg + gt/gt/*.png (mm; >8m invalid -> 0)
+    save_rgb(str(tmp_path / "sun" / "rgb" / "rgb" / "a.jpg"))
+    save_u16(str(tmp_path / "sun" / "gt" / "gt" / "a.png"), 9000)
+    (img, dep), = list(get_depth_dataset("sunrgbd", str(tmp_path / "sun")))
+    assert dep[0, 0] == 0.0                         # 9 m -> invalid
+
+    # diml indoor: LR/<scene>/color/*_c.png + depth_filled
+    save_rgb(str(tmp_path / "diml" / "LR" / "s" / "color" / "x_c.png"))
+    save_u16(
+        str(tmp_path / "diml" / "LR" / "s" / "depth_filled"
+            / "x_depth_filled.png"), 2500,
+    )
+    (img, dep), = list(
+        get_depth_dataset("diml_indoor", str(tmp_path / "diml"))
+    )
+    assert dep[0, 0] == pytest.approx(2.5)
+
+    # diml outdoor: */outleft/*.png + depthmap
+    save_rgb(str(tmp_path / "dimlo" / "s" / "outleft" / "y.png"))
+    save_u16(str(tmp_path / "dimlo" / "s" / "depthmap" / "y.png"), 4000)
+    (img, dep), = list(
+        get_depth_dataset("diml_outdoor", str(tmp_path / "dimlo"))
+    )
+    assert dep[0, 0] == pytest.approx(4.0)
+
+    # ibims: imagelist.txt + rgb/depth/masks (uint16 * 50 / 65535)
+    ib = tmp_path / "ibims"
+    save_rgb(str(ib / "rgb" / "im.png"))
+    save_u16(str(ib / "depth" / "im.png"), 655)
+    save_u16(str(ib / "mask_invalid" / "im.png"), 1)
+    save_u16(str(ib / "mask_transp" / "im.png"), 1)
+    (ib / "imagelist.txt").write_text("im\n")
+    (img, dep), = list(get_depth_dataset("ibims", str(ib)))
+    assert dep[0, 0] == pytest.approx(655 * 50.0 / 65535.0)
+
+    # vkitti2: rgb/**/frames/rgb/Camera_0/rgb_*.jpg + mirrored depth (cm)
+    vr = tmp_path / "vk" / "rgb" / "Scene01" / "clone" / "frames" / "rgb" \
+        / "Camera_0"
+    save_rgb(str(vr / "rgb_00000.jpg"))
+    vd = tmp_path / "vk" / "depth" / "Scene01" / "clone" / "frames" \
+        / "depth" / "Camera_0"
+    save_u16(str(vd / "depth_00000.png"), 1200)
+    (img, dep), = list(get_depth_dataset("vkitti2", str(tmp_path / "vk")))
+    assert dep[0, 0] == pytest.approx(12.0)         # cm -> m
+
+    # hypersim math: on-axis ray distance == planar depth; corners shrink
+    dist = np.full((8, 10), 5.0, np.float32)
+    pd = hypersim_distance_to_depth(dist)
+    assert pd[4, 5] == pytest.approx(5.0, abs=1e-3)
+    assert pd[0, 0] < 5.0
+
+    assert sorted(DATASETS) == [
+        "ddad", "diml_indoor", "diml_outdoor", "diode", "hypersim",
+        "ibims", "kitti", "nyu", "sunrgbd", "vkitti2",
+    ]
+    with pytest.raises(KeyError):
+        get_depth_dataset("nope", ".")
+
+
 def test_maskops(rng):
     from luciddreamer_tpu.dream.maskops import (
         controlnet_inpaint_condition,
