@@ -60,14 +60,14 @@ def main():
     backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     # ~8% headroom over the scene's true pair count (2.76M with the round-5
     # anisotropy-tightened rects) — the non-overflow assert below guards it,
-    # and production grows capacity on overflow anyway.  chunk 256 halves
-    # the per-segment program count of the blend walk (fastest measured of
-    # 128/256/512 on v5e).
+    # and production grows capacity on overflow anyway.  chunk 384 is the
+    # fastest measured blend granularity on v5e (sweep 128..512: 188.6 /
+    # 183.4 / 182.3 / 176.4 / 176.9 / 183.3 ms fwd+bwd).
     pair_cap = 3_000_000
 
     def loss(pdict):
         p = GaussianParams.from_param_pytree(pdict, params.alive)
-        out = render_tiled(p, cam, bg, active_sh_degree=3, chunk=256,
+        out = render_tiled(p, cam, bg, active_sh_degree=3, chunk=384,
                            pair_cap=pair_cap, backend=backend)
         l = (jnp.mean(jnp.abs(out["render"] - 0.5))
              + 0.1 * jnp.mean(out["depth"]))
