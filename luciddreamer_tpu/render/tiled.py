@@ -42,7 +42,7 @@ def render_tiled(
     active_sh_degree: int = 3,
     tile_size: int = 16,
     scale_modifier: float = 1.0,
-    chunk: int = 128,
+    chunk: int = 384,
     pair_cap: int | None = None,
     backend: str = "xla",
     mean2d_offset: jax.Array | None = None,
@@ -61,8 +61,10 @@ def render_tiled(
     # tile range losslessly, 1024-alignment matches XLA's T(1024) layout of
     # big f32[N] buffers so the backward's Pallas repack needs no padding
     # copy (see binning._repack_cols; round-4's bench crashed here with a
-    # 4_000_000 cap that was chunk-aligned but not 1024-aligned)
-    align = math.lcm(chunk, 1024)
+    # 4_000_000 cap that was chunk-aligned but not 1024-aligned).  Small
+    # capacities keep plain chunk alignment — the repack pads internally,
+    # and a 1024 floor would mask deliberate tiny-cap overflow tests.
+    align = math.lcm(chunk, 1024) if pair_cap >= 1024 else chunk
     pair_cap = ((pair_cap + align - 1) // align) * align
 
     proc = preprocess_gaussians(

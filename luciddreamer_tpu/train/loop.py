@@ -67,7 +67,7 @@ class Trainer:
         cameras_extent: float,
         pair_cap: int | None = None,
         backend: str | None = None,
-        chunk: int = 128,
+        chunk: int = 384,
         seed: int = 0,
     ):
         self.cfg = cfg

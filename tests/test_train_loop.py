@@ -87,7 +87,11 @@ def test_trainer_grows_pair_capacity_on_overflow(rng):
 
     params = create_from_pcd(jnp.asarray(pts), jnp.asarray(cols), capacity=64)
     cfg = GSConfig(iterations=3, densify_from_iter=1000)
-    tr = Trainer(params, cfg, cameras_extent=1.0, pair_cap=16, seed=0)
+    # chunk pinned small: pair_cap is aligned up to lcm(chunk, 1024), and
+    # the production default chunk (384) lifts the floor to 3072 — more
+    # pairs than this scene emits, which would mask the overflow under test
+    tr = Trainer(params, cfg, cameras_extent=1.0, pair_cap=16, chunk=64,
+                 seed=0)
     tr.run(views)
     assert tr.last_overflow
     assert tr.pair_cap >= 32
