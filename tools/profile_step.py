@@ -60,9 +60,9 @@ def steady(fn, arg, K1=2, K2=12, reps=3):
 
 def main():
     P = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
-    pair_cap = int(sys.argv[2]) if len(sys.argv) > 2 else 4_000_000
+    pair_cap = int(sys.argv[2]) if len(sys.argv) > 2 else 3_000_000
+    chunk = int(sys.argv[3]) if len(sys.argv) > 3 else 384
     H = W = 512
-    chunk = 128
     params = scene(P)
     cam = make_camera(np.eye(4), 0.8279, 0.8279, W, H)
     bg = jnp.zeros(3)
