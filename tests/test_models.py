@@ -336,6 +336,41 @@ def test_zoedepth_nk_forward(rng):
     assert np.isfinite(np.asarray(out["metric_depth"])).all()
 
 
+def test_depth_model_registry_variants(rng):
+    """build_depth_model covers all three hub entries (ZoeD_N/K/NK) via
+    their tiny twins, routes NK through FlaxZoeDepthNK, and refuses to
+    build any full-size model random-initialized (hubconf.py:66,107,150)."""
+    from luciddreamer_tpu.models.model_io import (
+        available_depth_models,
+        build_depth_model,
+    )
+    from luciddreamer_tpu.models.zoedepth_nk import FlaxZoeDepthNK
+
+    names = available_depth_models()
+    for full in ("zoedepth", "zoedepth_k", "zoedepth_nk"):
+        assert full in names
+        assert f"{full}_tiny" in names
+    img = rng.uniform(size=(48, 48, 3)).astype(np.float32)
+
+    est_k = build_depth_model("zoedepth_k_tiny")
+    assert est_k.cfg.bin_centers_type == "normed"
+    assert est_k.cfg.max_depth == 80.0
+    d = np.asarray(est_k(img))
+    assert d.shape == (48, 48) and np.isfinite(d).all()
+    # normed centers are bounded on (min_depth, max_depth)
+    assert d.min() >= est_k.cfg.min_depth - 1e-6
+    assert d.max() <= est_k.cfg.max_depth + 1e-6
+
+    est_nk = build_depth_model("zoedepth_nk_tiny")
+    assert isinstance(est_nk.model, FlaxZoeDepthNK)
+    d = np.asarray(est_nk(img))
+    assert d.shape == (48, 48) and np.isfinite(d).all()
+
+    for full in ("zoedepth", "zoedepth_k", "zoedepth_nk"):
+        with pytest.raises(RuntimeError, match="needs pretrained weights"):
+            build_depth_model(full)
+
+
 def test_fetch_checked_local(tmp_path, rng):
     import os
 
